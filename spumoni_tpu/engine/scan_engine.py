@@ -1,0 +1,234 @@
+"""Batched lockstep MS/PML query kernels (jax.lax.scan).
+
+This is the TPU re-design of the reference hot loops
+(/root/reference/src/compute_ms_pml.cpp:237-286 PML, :570-623 MS pointers,
+:802-810 MS extension): instead of one sequential pointer-chasing loop per
+read on a wavelet tree, thousands of reads advance in lockstep, one
+backward-step per scan iteration, with rank/select realized as a branchless
+binary search over per-character run tables (gathers into dense HBM arrays).
+
+Reads are reversed and left-aligned into a [B, L] u8 matrix; step i processes
+pattern[m-1-i] for every lane. Lanes whose read is shorter than L process
+padding (char 0, which no index contains) — their tail outputs are sliced off
+on the host.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .arrays import IndexArrays, IndexMeta
+
+
+def _bsearch_le(c_start, lo0, hi0, pos, iters, r):
+    """Last index k in [lo0, hi0) with c_start[k] <= pos, else lo0-1.
+
+    Branchless fixed-trip binary search, vectorized over the batch.
+    """
+    lo, hi = lo0, hi0
+    for _ in range(iters):
+        active = lo < hi
+        mid = (lo + hi) >> 1
+        v = c_start[jnp.clip(mid, 0, r - 1)]
+        le = v <= pos
+        lo = jnp.where(active & le, mid + 1, lo)
+        hi = jnp.where(active & ~le, mid, hi)
+    return lo - 1
+
+
+def make_step_fn(meta: IndexMeta, mode: str, use_doc: bool, r: int):
+    """One backward step of the recurrence for a [B] batch.
+
+    carry = (pos, length, sample, doc); emits per-lane (length | sample[, doc]).
+    """
+    ms = mode == "ms"
+
+    def step(ix: IndexArrays, carry, chars):
+        pos, length, sample, doc = carry
+        c = chars.astype(pos.dtype)
+        lo0 = ix.char_off[c]
+        hi0 = ix.char_off[c + 1]
+        k = _bsearch_le(ix.c_start, lo0, hi0, pos, meta.bsearch_iters, r)
+        kc = jnp.clip(k, 0, r - 1)
+        k1c = jnp.clip(k + 1, 0, r - 1)
+
+        start_k = ix.c_start[kc]
+        len_k = ix.c_len[kc]
+        valid_k = k >= lo0
+        is_match = valid_k & (pos < start_k + len_k)
+        rnk = jnp.where(valid_k,
+                        ix.c_cum[kc] + jnp.minimum(pos - start_k, len_k),
+                        0)
+        has_next = (k + 1) < hi0
+        thr = ix.c_thr[k1c]
+        jump_down = (~is_match) & has_next & (pos >= thr)
+        empty = ix.cnt[c] == 0
+
+        new_length = jnp.where(is_match, length + 1, 0)
+        Fc = ix.F[c]
+        new_pos = jnp.where(empty, Fc,
+                  jnp.where(is_match | jump_down, Fc + rnk, Fc + rnk - 1))
+
+        if ms:
+            new_sample = jnp.where(empty, 0,
+                         jnp.where(is_match, sample - 1,
+                         jnp.where(jump_down, ix.c_ssamp[k1c], ix.c_esamp[kc])))
+        else:
+            new_sample = sample
+        if use_doc:
+            jumped = jnp.where(jump_down, ix.c_sdoc[k1c], ix.c_edoc[kc])
+            if ms:
+                # compute_ms_pml.cpp:639-643: empty char resets to run 0's doc
+                new_doc = jnp.where(empty, ix.first_run_sdoc,
+                          jnp.where(is_match, doc, jumped))
+            else:
+                # compute_ms_pml.cpp:288-340: empty char keeps the current doc
+                new_doc = jnp.where(empty | is_match, doc, jumped)
+        else:
+            new_doc = doc
+
+        emit = (new_sample if ms else new_length, new_doc)
+        return (new_pos, new_length, new_sample, new_doc), emit
+
+    return step
+
+
+@functools.partial(jax.jit, static_argnames=("meta", "mode", "use_doc", "r"))
+def query_batch_kernel(ix: IndexArrays, reads_rev: jnp.ndarray,
+                       meta: IndexMeta, mode: str, use_doc: bool, r: int):
+    """reads_rev: [B, L] u8, reversed reads, left-aligned, zero-padded.
+
+    Returns (values [B, L], docs [B, L] | None) where values are PML lengths
+    (mode='pml') or MS pointers (mode='ms'), still in reversed order.
+    """
+    B = reads_rev.shape[0]
+    dt = ix.c_start.dtype
+    step = make_step_fn(meta, mode, use_doc, r)
+
+    pos0 = jnp.full((B,), ix.n - 1, dtype=dt)
+    len0 = jnp.zeros((B,), dtype=dt)
+    samp0 = jnp.full((B,), ix.last_run_sample, dtype=dt)
+    doc0 = jnp.full((B,), ix.last_run_edoc, dtype=dt)
+
+    xs = reads_rev.T  # [L, B]
+    (_, _, _, _), (vals, docs) = jax.lax.scan(
+        lambda carry, ch: step(ix, carry, ch), (pos0, len0, samp0, doc0), xs)
+    vals = vals.T  # [B, L]
+    docs = docs.T if use_doc else None
+    return vals, docs
+
+
+@functools.partial(jax.jit, static_argnames=("nt",))
+def extend_pointers_kernel(text: jnp.ndarray, reads: jnp.ndarray,
+                           read_lens: jnp.ndarray, ptrs: jnp.ndarray, nt: int):
+    """MS extension: pointers -> lengths by direct text comparison.
+
+    Replaces the reference's SLP charAt loop (compute_ms_pml.cpp:802-810) with
+    gathers into the HBM-resident text. reads/ptrs are in natural (unreversed)
+    order, [B, L]; read_lens is [B].
+    """
+    B, L = reads.shape
+    dt = ptrs.dtype
+    reads_flat = reads.reshape(-1)
+    lane = jnp.arange(B, dtype=dt)
+
+    prev_ptrs = jnp.concatenate([jnp.zeros((B, 1), dt), ptrs[:, :-1]], axis=1)
+
+    def ext_step(l, x):
+        i, ptr, prev_ptr = x
+        can = (i == 0) | (ptr != prev_ptr + 1)
+
+        def cond(state):
+            _, active = state
+            return jnp.any(active)
+
+        def body(state):
+            l_w, active = state
+            ri = jnp.clip(i + l_w, 0, L - 1)
+            rch = reads_flat[lane * L + ri]
+            tch = text[jnp.clip(ptr + l_w, 0, nt - 1)]
+            # ptr < 0 encodes the reference's underflowed unsigned pointers
+            # (compute_ms_pml.cpp:582) — always out of bounds for extension.
+            ok = (active & (i + l_w < read_lens) & (ptr >= 0)
+                  & (ptr + l_w < nt) & (rch == tch))
+            return l_w + ok.astype(dt), ok
+
+        l_w, _ = jax.lax.while_loop(cond, body, (l, can))
+        return jnp.maximum(l_w - 1, 0), l_w
+
+    xs = (jnp.arange(L, dtype=dt), ptrs.T, prev_ptrs.T)
+    _, lens = jax.lax.scan(ext_step, jnp.zeros((B,), dt), xs)
+    return lens.T  # [B, L]
+
+
+class ScanEngine:
+    """Host-side wrapper: packs variable-length reads into padded batches,
+    runs the lockstep kernels, unpacks per-read outputs.
+
+    The counterpart of pml_t / ms_t (compute_ms_pml.cpp:694-838).
+    """
+
+    def __init__(self, arrays: IndexArrays, meta: IndexMeta, mode: str = "pml",
+                 use_doc: bool = False, pad_to: int = 128):
+        assert mode in ("pml", "ms")
+        if mode == "ms" and not meta.has_samples:
+            raise ValueError("MS mode requires an index built with SA samples")
+        if use_doc and not meta.has_doc:
+            raise ValueError("doc output requires an index with a document array")
+        self.arrays = arrays
+        self.meta = meta
+        self.mode = mode
+        self.use_doc = use_doc
+        self.pad_to = pad_to
+        self.r = int(arrays.c_start.shape[0])
+        self.nt = int(arrays.text.shape[0]) if arrays.text is not None else 0
+
+    def _pack(self, reads):
+        B = len(reads)
+        maxm = max((len(r) for r in reads), default=1)
+        L = max(self.pad_to, -(-maxm // self.pad_to) * self.pad_to)
+        fwd = np.zeros((B, L), dtype=np.uint8)
+        rev = np.zeros((B, L), dtype=np.uint8)
+        lens = np.zeros((B,), dtype=np.int64)
+        for i, rd in enumerate(reads):
+            a = np.frombuffer(bytes(rd), dtype=np.uint8)
+            fwd[i, :len(a)] = a
+            rev[i, :len(a)] = a[::-1]
+            lens[i] = len(a)
+        return fwd, rev, lens, L
+
+    def query(self, reads):
+        """Returns dict with per-read numpy arrays:
+        pml: {'lengths': [...]}; ms: {'pointers': [...], 'lengths': [...]};
+        plus 'docs' when use_doc."""
+        fwd, rev, lens, L = self._pack(reads)
+        vals, docs = query_batch_kernel(
+            self.arrays, jnp.asarray(rev), self.meta, self.mode, self.use_doc,
+            self.r)
+        vals = np.asarray(vals)
+        out = {}
+        unrev = lambda mat: [mat[i, :lens[i]][::-1].copy()
+                             for i in range(len(reads))]
+        if self.mode == "pml":
+            out["lengths"] = unrev(vals)
+        else:
+            out["pointers"] = unrev(vals)
+            if self.arrays.text is not None:
+                dt = self.arrays.c_start.dtype
+                ptrs_fwd = np.zeros((len(reads), L), dtype=vals.dtype)
+                for i in range(len(reads)):
+                    ptrs_fwd[i, :lens[i]] = vals[i, :lens[i]][::-1]
+                lens_mat = extend_pointers_kernel(
+                    self.arrays.text, jnp.asarray(fwd),
+                    jnp.asarray(lens.astype(vals.dtype)),
+                    jnp.asarray(ptrs_fwd), self.nt)
+                lens_mat = np.asarray(lens_mat)
+                out["lengths"] = [lens_mat[i, :lens[i]].copy()
+                                  for i in range(len(reads))]
+        if self.use_doc:
+            out["docs"] = unrev(np.asarray(docs))
+        return out

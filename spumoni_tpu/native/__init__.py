@@ -1,0 +1,234 @@
+"""ctypes bindings for the native index builder / CPU query engine.
+
+The C++ library (native/spumoni_native.cpp) replaces the reference's popen'd
+helper executables (Big-BWT, pfp_thresholds — /root/reference/src/spumoni.cpp:442-545)
+with an in-process build, and provides the multithreaded CPU query baseline.
+
+The shared object is compiled on demand with g++ and cached next to this file,
+keyed by a hash of the source.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_REPO = os.path.dirname(os.path.dirname(_HERE))
+_SRC = os.path.join(_REPO, "native", "spumoni_native.cpp")
+_BUILD_DIR = os.path.join(_HERE, "_build")
+
+_lock = threading.Lock()
+_lib = None
+
+
+def _compile() -> str:
+    with open(_SRC, "rb") as f:
+        src = f.read()
+    tag = hashlib.sha256(src).hexdigest()[:16]
+    so_path = os.path.join(_BUILD_DIR, f"libspumoni_native_{tag}.so")
+    if os.path.exists(so_path):
+        return so_path
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    tmp = so_path + f".tmp{os.getpid()}"
+    cmd = [
+        "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
+        "-march=native", "-funroll-loops", _SRC, "-o", tmp,
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(tmp, so_path)
+    return so_path
+
+
+def get_lib() -> ctypes.CDLL:
+    global _lib
+    with _lock:
+        if _lib is None:
+            lib = ctypes.CDLL(_compile())
+            c_i64 = ctypes.c_int64
+            p_i64 = ctypes.POINTER(ctypes.c_int64)
+            p_u8 = ctypes.POINTER(ctypes.c_uint8)
+            lib.spn_suffix_array.restype = ctypes.c_int
+            lib.spn_suffix_array.argtypes = [p_u8, c_i64, p_i64]
+            lib.spn_build.restype = ctypes.c_void_p
+            lib.spn_build.argtypes = [p_u8, c_i64]
+            lib.spn_num_runs.restype = c_i64
+            lib.spn_num_runs.argtypes = [ctypes.c_void_p]
+            lib.spn_bwt_len.restype = c_i64
+            lib.spn_bwt_len.argtypes = [ctypes.c_void_p]
+            for name in ("spn_get_run_starts", "spn_get_thresholds",
+                         "spn_get_samples_start", "spn_get_samples_last"):
+                fn = getattr(lib, name)
+                fn.restype = None
+                fn.argtypes = [ctypes.c_void_p, p_i64]
+            lib.spn_get_run_heads.restype = None
+            lib.spn_get_run_heads.argtypes = [ctypes.c_void_p, p_u8]
+            lib.spn_free.restype = None
+            lib.spn_free.argtypes = [ctypes.c_void_p]
+            lib.spn_query_new.restype = ctypes.c_void_p
+            lib.spn_query_new.argtypes = [c_i64, c_i64, p_u8, p_i64, p_i64,
+                                          p_i64, p_i64, p_i64, p_i64, p_u8, c_i64]
+            lib.spn_query_free.restype = None
+            lib.spn_query_free.argtypes = [ctypes.c_void_p]
+            lib.spn_query_pml_batch.restype = None
+            lib.spn_query_pml_batch.argtypes = [ctypes.c_void_p, p_u8, p_i64,
+                                                c_i64, p_i64, p_i64, ctypes.c_int]
+            lib.spn_query_ms_batch.restype = None
+            lib.spn_query_ms_batch.argtypes = [ctypes.c_void_p, p_u8, p_i64,
+                                               c_i64, p_i64, p_i64, p_i64,
+                                               ctypes.c_int]
+            _lib = lib
+    return _lib
+
+
+def _p_u8(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _p_i64(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def suffix_array(text: np.ndarray) -> np.ndarray:
+    """Suffix array of text + implicit sentinel (len(text)+1 entries)."""
+    text = np.ascontiguousarray(text, dtype=np.uint8)
+    n = len(text)
+    sa = np.empty(n + 1, dtype=np.int64)
+    rc = get_lib().spn_suffix_array(_p_u8(text), n, _p_i64(sa))
+    if rc != 0:
+        raise ValueError("text must not contain 0 bytes")
+    return sa
+
+
+class RawIndex:
+    """Raw builder outputs: RLBWT runs, thresholds, SA samples.
+
+    n is the BWT length (text length + 1 for the terminator). Samples are raw
+    SA values; downstream applies the (sa-1) mod n convention of the reference
+    (compute_ms_pml.cpp:431-434).
+    """
+
+    def __init__(self, n, run_heads, run_starts, thresholds,
+                 samples_start, samples_last):
+        self.n = int(n)
+        self.r = len(run_heads)
+        self.run_heads = run_heads
+        self.run_starts = run_starts
+        self.thresholds = thresholds
+        self.samples_start = samples_start
+        self.samples_last = samples_last
+
+
+def build_raw_index(text: np.ndarray) -> RawIndex:
+    """Builds the RLBWT + thresholds + SA samples for `text` (uint8, no 0/1 bytes)."""
+    text = np.ascontiguousarray(text, dtype=np.uint8)
+    lib = get_lib()
+    h = lib.spn_build(_p_u8(text), len(text))
+    if not h:
+        raise ValueError("text must not contain bytes <= 1 "
+                         "(reserved for the BWT terminator)")
+    try:
+        r = lib.spn_num_runs(h)
+        n = lib.spn_bwt_len(h)
+        run_heads = np.empty(r, dtype=np.uint8)
+        run_starts = np.empty(r, dtype=np.int64)
+        thresholds = np.empty(r, dtype=np.int64)
+        samples_start = np.empty(r, dtype=np.int64)
+        samples_last = np.empty(r, dtype=np.int64)
+        lib.spn_get_run_heads(h, _p_u8(run_heads))
+        lib.spn_get_run_starts(h, _p_i64(run_starts))
+        lib.spn_get_thresholds(h, _p_i64(thresholds))
+        lib.spn_get_samples_start(h, _p_i64(samples_start))
+        lib.spn_get_samples_last(h, _p_i64(samples_last))
+    finally:
+        lib.spn_free(h)
+    return RawIndex(n, run_heads, run_starts, thresholds,
+                    samples_start, samples_last)
+
+
+class NativeQueryEngine:
+    """Multithreaded CPU MS/PML query engine over the dense run tables.
+
+    Mirrors the reference hot loops exactly; used both as the measured CPU
+    baseline and as the oracle for the JAX/TPU engines.
+    """
+
+    def __init__(self, n, run_heads, run_starts, thresholds, samples_start,
+                 samples_last, start_doc=None, end_doc=None, text=None):
+        self._lib = get_lib()
+        self._keep = []  # keep buffers alive for the C side
+
+        def hold(a, dt):
+            a = np.ascontiguousarray(a, dtype=dt)
+            self._keep.append(a)
+            return a
+
+        run_heads = hold(run_heads, np.uint8)
+        run_starts = hold(run_starts, np.int64)
+        thresholds = hold(thresholds, np.int64)
+        samples_start = hold(samples_start, np.int64)
+        samples_last = hold(samples_last, np.int64)
+        sdoc = edoc = None
+        if start_doc is not None and end_doc is not None:
+            sdoc = _p_i64(hold(start_doc, np.int64))
+            edoc = _p_i64(hold(end_doc, np.int64))
+        tptr, tlen = None, 0
+        if text is not None:
+            text = hold(text, np.uint8)
+            tptr, tlen = _p_u8(text), len(text)
+        self._h = self._lib.spn_query_new(
+            int(n), len(run_heads), _p_u8(run_heads), _p_i64(run_starts),
+            _p_i64(thresholds), _p_i64(samples_start), _p_i64(samples_last),
+            sdoc, edoc, tptr, tlen)
+
+    def __del__(self):
+        h = getattr(self, "_h", None)
+        if h:
+            self._lib.spn_query_free(h)
+            self._h = None
+
+    @staticmethod
+    def _pack(reads):
+        offsets = np.zeros(len(reads) + 1, dtype=np.int64)
+        for i, rd in enumerate(reads):
+            offsets[i + 1] = offsets[i] + len(rd)
+        flat = np.empty(offsets[-1], dtype=np.uint8)
+        for i, rd in enumerate(reads):
+            flat[offsets[i]:offsets[i + 1]] = np.frombuffer(
+                rd if isinstance(rd, (bytes, bytearray)) else bytes(rd), np.uint8)
+        return flat, offsets
+
+    def query_pml(self, reads, with_docs=False, threads=1):
+        flat, offsets = self._pack(reads)
+        out = np.empty(offsets[-1], dtype=np.int64)
+        docs = np.empty(offsets[-1], dtype=np.int64) if with_docs else None
+        self._lib.spn_query_pml_batch(
+            self._h, _p_u8(flat), _p_i64(offsets), len(reads), _p_i64(out),
+            _p_i64(docs) if with_docs else None, int(threads))
+        lengths = [out[offsets[i]:offsets[i + 1]].copy() for i in range(len(reads))]
+        if with_docs:
+            dlist = [docs[offsets[i]:offsets[i + 1]].copy() for i in range(len(reads))]
+            return lengths, dlist
+        return lengths
+
+    def query_ms(self, reads, with_docs=False, with_lengths=True, threads=1):
+        flat, offsets = self._pack(reads)
+        ptrs = np.empty(offsets[-1], dtype=np.int64)
+        lens = np.empty(offsets[-1], dtype=np.int64) if with_lengths else None
+        docs = np.empty(offsets[-1], dtype=np.int64) if with_docs else None
+        self._lib.spn_query_ms_batch(
+            self._h, _p_u8(flat), _p_i64(offsets), len(reads), _p_i64(ptrs),
+            _p_i64(lens) if with_lengths else None,
+            _p_i64(docs) if with_docs else None, int(threads))
+        sl = lambda a: [a[offsets[i]:offsets[i + 1]].copy() for i in range(len(reads))]
+        res = [sl(ptrs)]
+        if with_lengths:
+            res.append(sl(lens))
+        if with_docs:
+            res.append(sl(docs))
+        return tuple(res) if len(res) > 1 else res[0]

@@ -1,0 +1,101 @@
+"""Query-engine parity: native CPU engine and JAX lockstep engine vs the naive
+recurrence oracle and brute-force matching statistics."""
+
+import numpy as np
+import pytest
+
+from spumoni_tpu.native import build_raw_index, NativeQueryEngine
+from spumoni_tpu.index.format import build_dense_index
+from spumoni_tpu.engine.arrays import to_device_arrays
+from spumoni_tpu.engine.scan_engine import ScanEngine
+from spumoni_tpu.engine.oracle import NaiveRLBWT, brute_force_ms
+
+from conftest import rand_dna
+
+
+def _build(text: bytes, with_samples=True):
+    tarr = np.frombuffer(text, np.uint8)
+    raw = build_raw_index(tarr)
+    dense = build_dense_index(raw, text=tarr, with_samples=with_samples)
+    native = NativeQueryEngine(raw.n, raw.run_heads, raw.run_starts,
+                               raw.thresholds, raw.samples_start,
+                               raw.samples_last, text=tarr)
+    return raw, dense, native
+
+
+def test_native_pml_matches_naive_recurrence(rng, make_reads):
+    for _ in range(5):
+        text = rand_dna(rng, int(rng.integers(20, 250)))
+        _, _, native = _build(text)
+        nv = NaiveRLBWT(text)
+        reads = make_reads(rng, text, num=6, max_len=60)
+        for rd, got in zip(reads, native.query_pml(reads)):
+            assert np.array_equal(got, nv.query_pml(rd))
+
+
+def test_native_ms_matches_brute_force(rng, make_reads):
+    for _ in range(5):
+        text = rand_dna(rng, int(rng.integers(20, 250)))
+        _, _, native = _build(text)
+        nv = NaiveRLBWT(text)
+        reads = make_reads(rng, text, num=6, max_len=60)
+        ptrs, lens = native.query_ms(reads)
+        for rd, pt, ln in zip(reads, ptrs, lens):
+            assert np.array_equal(pt, nv.query_ms_pointers(rd))
+            assert np.array_equal(ln, brute_force_ms(text, rd))
+
+
+def test_jax_engine_matches_native(rng, make_reads):
+    for _ in range(3):
+        text = rand_dna(rng, int(rng.integers(300, 1500)))
+        raw, dense, native = _build(text)
+        arrays, meta = to_device_arrays(dense)
+        reads = make_reads(rng, text, num=12, max_len=250)
+
+        pml = ScanEngine(arrays, meta, mode="pml").query(reads)
+        for a, b in zip(pml["lengths"], native.query_pml(reads)):
+            assert np.array_equal(a, b)
+
+        ms = ScanEngine(arrays, meta, mode="ms").query(reads)
+        ptrs, lens = native.query_ms(reads)
+        for a, b in zip(ms["pointers"], ptrs):
+            assert np.array_equal(a, b)
+        for a, rd in zip(ms["lengths"], reads):
+            assert np.array_equal(a, brute_force_ms(text, rd))
+
+
+def test_jax_engine_reads_with_unknown_chars(rng, make_reads):
+    # 'N' and other bytes absent from the index exercise the cnt==0 branch
+    text = rand_dna(rng, 800)
+    raw, dense, native = _build(text)
+    arrays, meta = to_device_arrays(dense)
+    reads = []
+    for _ in range(8):
+        rd = bytearray(make_reads(rng, text, num=1, max_len=120)[0])
+        for k in range(len(rd)):
+            if rng.random() < 0.1:
+                rd[k] = ord('N')
+        reads.append(bytes(rd))
+    pml = ScanEngine(arrays, meta, mode="pml").query(reads)
+    for a, b in zip(pml["lengths"], native.query_pml(reads)):
+        assert np.array_equal(a, b)
+    ms = ScanEngine(arrays, meta, mode="ms").query(reads)
+    ptrs, _ = native.query_ms(reads)
+    for a, b in zip(ms["pointers"], ptrs):
+        assert np.array_equal(a, b)
+
+
+def test_dense_index_roundtrip(tmp_path, rng):
+    from spumoni_tpu.index.format import save_dense_index, load_dense_index
+    text = rand_dna(rng, 500)
+    tarr = np.frombuffer(text, np.uint8)
+    raw = build_raw_index(tarr)
+    dense = build_dense_index(raw, text=tarr, with_samples=True)
+    p = str(tmp_path / "idx")
+    save_dense_index(dense, p)
+    loaded = load_dense_index(p)
+    assert loaded.n == dense.n and loaded.r == dense.r
+    for f in ("F", "cnt", "char_off", "c_start", "c_len", "c_cum", "c_thr",
+              "c_ssamp", "c_esamp", "text"):
+        assert np.array_equal(getattr(loaded, f), getattr(dense, f)), f
+    assert loaded.last_run_sample == dense.last_run_sample
