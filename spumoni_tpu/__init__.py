@@ -18,8 +18,22 @@ TPU-first:
 package import.
 """
 
+import os as _os
+
 import jax
 
 jax.config.update("jax_enable_x64", True)
+
+# The lockstep scan kernels are expensive to compile (minutes on first build)
+# but execute in milliseconds — persist compiled executables across processes.
+_cache_dir = _os.environ.get(
+    "SPUMONI_TPU_CACHE", _os.path.join(_os.path.expanduser("~"),
+                                       ".cache", "spumoni_tpu", "jax_cache"))
+try:
+    _os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:  # cache is an optimization only
+    pass
 
 __version__ = "0.1.0"

@@ -187,10 +187,16 @@ class ScanEngine:
         self.r = int(arrays.c_start.shape[0])
         self.nt = int(arrays.text.shape[0]) if arrays.text is not None else 0
 
-    def _pack(self, reads):
-        B = len(reads)
-        maxm = max((len(r) for r in reads), default=1)
-        L = max(self.pad_to, -(-maxm // self.pad_to) * self.pad_to)
+    def _bucket_L(self, m: int) -> int:
+        L = self.pad_to
+        while L < m:
+            L *= 2
+        return L
+
+    def _query_group(self, reads, L: int):
+        """Runs one padded [B, L] kernel invocation (B = next power of two,
+        capped by max_lanes chunks upstream)."""
+        B = max(1, 1 << (len(reads) - 1).bit_length())
         fwd = np.zeros((B, L), dtype=np.uint8)
         rev = np.zeros((B, L), dtype=np.uint8)
         lens = np.zeros((B,), dtype=np.int64)
@@ -199,36 +205,55 @@ class ScanEngine:
             fwd[i, :len(a)] = a
             rev[i, :len(a)] = a[::-1]
             lens[i] = len(a)
-        return fwd, rev, lens, L
-
-    def query(self, reads):
-        """Returns dict with per-read numpy arrays:
-        pml: {'lengths': [...]}; ms: {'pointers': [...], 'lengths': [...]};
-        plus 'docs' when use_doc."""
-        fwd, rev, lens, L = self._pack(reads)
         vals, docs = query_batch_kernel(
             self.arrays, jnp.asarray(rev), self.meta, self.mode, self.use_doc,
             self.r)
         vals = np.asarray(vals)
+        nreads = len(reads)
         out = {}
         unrev = lambda mat: [mat[i, :lens[i]][::-1].copy()
-                             for i in range(len(reads))]
+                             for i in range(nreads)]
         if self.mode == "pml":
             out["lengths"] = unrev(vals)
         else:
             out["pointers"] = unrev(vals)
             if self.arrays.text is not None:
-                dt = self.arrays.c_start.dtype
-                ptrs_fwd = np.zeros((len(reads), L), dtype=vals.dtype)
-                for i in range(len(reads)):
+                ptrs_fwd = np.zeros((B, L), dtype=vals.dtype)
+                for i in range(nreads):
                     ptrs_fwd[i, :lens[i]] = vals[i, :lens[i]][::-1]
-                lens_mat = extend_pointers_kernel(
+                lens_mat = np.asarray(extend_pointers_kernel(
                     self.arrays.text, jnp.asarray(fwd),
                     jnp.asarray(lens.astype(vals.dtype)),
-                    jnp.asarray(ptrs_fwd), self.nt)
-                lens_mat = np.asarray(lens_mat)
+                    jnp.asarray(ptrs_fwd), self.nt))
                 out["lengths"] = [lens_mat[i, :lens[i]].copy()
-                                  for i in range(len(reads))]
+                                  for i in range(nreads)]
         if self.use_doc:
             out["docs"] = unrev(np.asarray(docs))
+        return out
+
+    def query(self, reads, max_lanes: int = 8192):
+        """Returns dict with per-read numpy arrays:
+        pml: {'lengths': [...]}; ms: {'pointers': [...], 'lengths': [...]};
+        plus 'docs' when use_doc.
+
+        Reads are grouped into power-of-two length buckets (lockstep lanes in
+        a bucket share the padded length) and each bucket is chunked to at
+        most max_lanes lanes per kernel call.
+        """
+        groups: dict[int, list[int]] = {}
+        for i, rd in enumerate(reads):
+            groups.setdefault(self._bucket_L(max(1, len(rd))), []).append(i)
+        fields = {"pml": ["lengths"], "ms": ["pointers", "lengths"]}[self.mode]
+        if self.mode == "ms" and self.arrays.text is None:
+            fields = ["pointers"]
+        if self.use_doc:
+            fields = fields + ["docs"]
+        out = {f: [None] * len(reads) for f in fields}
+        for L, idxs in sorted(groups.items()):
+            for c0 in range(0, len(idxs), max_lanes):
+                chunk = idxs[c0:c0 + max_lanes]
+                res = self._query_group([reads[i] for i in chunk], L)
+                for f in fields:
+                    for j, i in enumerate(chunk):
+                        out[f][i] = res[f][j]
         return out

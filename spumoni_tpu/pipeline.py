@@ -1,0 +1,453 @@
+"""Build / run orchestration — the L5 layer of the framework
+(counterpart of build_main/run_main in /root/reference/src/spumoni.cpp:553-755).
+
+Differences from the reference by design:
+  * no subprocess helper binaries — index construction is the in-process
+    native library (SA-IS + LCP sweep) instead of PFP + pfp_thresholds;
+  * idempotent build stages keyed by a content hash of the generated
+    reference (the analog of the reference's 19-temp-file "quick build",
+    spumoni.cpp:570-601);
+  * querying runs on the TPU lockstep engine by default, with the
+    multithreaded CPU engine available as a fallback/baseline.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import os
+import time
+
+import numpy as np
+
+from .constants import (DEFAULT_BIN_SIZE, DEFAULT_MIN_K, DEFAULT_MIN_W,
+                        MAX_BIN_SIZE, MIN_BIN_SIZE)
+from .glibc_rand import GlibcRand
+from .index import refbuilder
+from .index.format import (DenseIndex, build_dense_index, build_doc_arrays,
+                           load_dense_index, save_dense_index)
+from .index.null_db import EmpNullDatabase
+from .classify import binmax
+from .classify.kstest import KSTest, find_ks_threshold
+from .classify.report import (report_header, report_line, write_values_record)
+from .io.fasta import batch_iter, iter_query_reads
+from .io.minimizers import digest
+from .native import NativeQueryEngine, build_raw_index
+
+
+def log(tag: str, msg: str) -> None:
+    print(f"[{tag}] {msg}", flush=True)
+
+
+# ---------------------------------------------------------------------------
+# build
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class BuildConfig:
+    """Mirror of SpumoniBuildOptions (spumoni_main.hpp:134-231)."""
+    ref_file: str = ""
+    input_list: str = ""
+    output_prefix: str = ""
+    ms_index: bool = False
+    pml_index: bool = False
+    build_doc: bool = False
+    use_minimizers: bool = True
+    use_promotions: bool = False
+    use_dna_letters: bool = False
+    is_general_text: bool = False
+    use_rev_comp: bool = True
+    keep_files: bool = False
+    k: int = DEFAULT_MIN_K
+    w: int = DEFAULT_MIN_W
+    bin_size: int = DEFAULT_BIN_SIZE
+    verbose: bool = False
+
+    def validate(self) -> None:
+        if not self.ref_file and not self.input_list:
+            raise ValueError("a reference file (-r) or file list (-i) is required")
+        if self.ref_file and not os.path.isfile(self.ref_file):
+            raise FileNotFoundError(self.ref_file)
+        if self.input_list and not os.path.isfile(self.input_list):
+            raise FileNotFoundError(self.input_list)
+        if not self.output_prefix:
+            raise ValueError("an output prefix (-o) is required")
+        if not self.ms_index and not self.pml_index:
+            raise ValueError("at least one index type (-M or -P) is required")
+        if self.use_minimizers and not self.is_general_text:
+            if self.use_promotions and self.use_dna_letters:
+                raise ValueError("only one minimizer type may be specified")
+            if not self.use_promotions and not self.use_dna_letters:
+                raise ValueError("a minimizer type (-m or -a) is required, "
+                                 "or disable digestion with -n")
+        else:
+            if self.use_promotions or self.use_dna_letters:
+                raise ValueError("minimizer type given but digestion disabled")
+        if self.k > 4:
+            raise ValueError("small window size (k) cannot exceed 4")
+        if self.w < self.k:
+            raise ValueError("large window (w) must be >= small window (k)")
+        if not MIN_BIN_SIZE <= self.bin_size <= MAX_BIN_SIZE:
+            raise ValueError(f"bin size must be in [{MIN_BIN_SIZE},{MAX_BIN_SIZE}]")
+
+
+def _ref_paths(cfg: BuildConfig):
+    parent = os.path.dirname(os.path.abspath(cfg.output_prefix))
+    name = os.path.basename(cfg.output_prefix)
+    ext = ".bin" if cfg.use_promotions else ".fa"
+    ref_path = os.path.join(parent, name + ext)
+    null_path = os.path.join(parent, "spumoni_null_reads.fa")
+    return ref_path, null_path
+
+
+def build(cfg: BuildConfig) -> str:
+    """Runs the full build; returns the built-reference path (the run-time
+    index prefix is that path)."""
+    cfg.validate()
+    t_start = time.time()
+    ref_path, null_path = _ref_paths(cfg)
+    rand = GlibcRand(0)  # process-wide rand() state (refbuilder.cpp:84)
+
+    # ---- reference preparation (L4) ----
+    if cfg.input_list:
+        log("build_main", f"input: list of files ({cfg.input_list})")
+        res = refbuilder.build_reference_from_filelist(
+            cfg.input_list, ref_path, null_path, cfg.build_doc,
+            cfg.use_promotions, cfg.use_dna_letters, cfg.k, cfg.w,
+            cfg.use_rev_comp, rand=rand)
+    elif not cfg.is_general_text:
+        log("build_main", f"input: single reference file ({cfg.ref_file})")
+        refbuilder.parse_null_reads(cfg.ref_file, null_path, rand=rand)
+        res = refbuilder.build_reference(cfg.ref_file, ref_path,
+                                         cfg.use_promotions,
+                                         cfg.use_dna_letters, cfg.k, cfg.w,
+                                         cfg.use_rev_comp)
+        res.null_read_path = null_path
+    else:
+        log("build_main", "general text reference used directly")
+        refbuilder.parse_null_reads_from_general_text(cfg.ref_file, null_path,
+                                                      rand=rand)
+        ref_path = cfg.ref_file
+        with open(cfg.ref_file, "rb") as f:
+            text = np.frombuffer(f.read(), dtype=np.uint8)
+        res = refbuilder.RefBuildResult(ref_path, text, null_path)
+        res.null_read_path = null_path
+
+    # ---- index construction (replaces PFP/pfp_thresholds subprocesses) ----
+    text = res.text
+    content_hash = hashlib.sha256(text.tobytes()).hexdigest()[:16]
+    raw = _build_raw_cached(ref_path, text, content_hash)
+    n, r = raw.n, raw.r
+    log("build_main", f"bwt statistics: r = {r}, n = {n}, n/r = {n / r:.3f}")
+
+    # ---- document array (L2, doc_array.cpp) ----
+    doc_start = doc_end = None
+    if cfg.build_doc:
+        fdi = res.fdi_path or (ref_path + ".fdi")
+        seq_lengths = refbuilder.read_fdi(fdi)
+        doc_start, doc_end = build_doc_arrays(raw, seq_lengths)
+
+    # CPU engine used for null-DB generation (build-time self-query,
+    # spumoni.cpp:654); avoids needing a TPU at build time.
+    cpu_engine = NativeQueryEngine(
+        raw.n, raw.run_heads, raw.run_starts, raw.thresholds,
+        raw.samples_start, raw.samples_last, start_doc=doc_start,
+        end_doc=doc_end, text=text)
+    threads = os.cpu_count() or 1
+
+    if cfg.ms_index:
+        log("build_ms", "building the MS index")
+        dense = build_dense_index(raw, text=text, with_samples=True,
+                                  doc_start=doc_start, doc_end=doc_end)
+        save_dense_index(dense, ref_path + ".thrbv.ms")
+        _write_stats(dense, cfg.output_prefix + ".ms_index_stats.txt")
+
+        log("build_main", "building the empirical null statistic database for MS")
+        qfn = lambda reads: cpu_engine.query_ms(reads, threads=threads)[1]
+        null_db = EmpNullDatabase.from_null_reads(
+            qfn, res.null_read_path, cfg.use_promotions, cfg.use_dna_letters,
+            cfg.k, cfg.w, cfg.is_general_text)
+        if not cfg.is_general_text:
+            null_db.ks_stat_threshold = find_ks_threshold(
+                qfn, res.null_read_path, null_db, cfg.bin_size,
+                cfg.use_promotions, cfg.use_dna_letters, cfg.k, cfg.w,
+                rand=rand)
+        else:
+            null_db.ks_stat_threshold = 0.10
+        null_db.save(ref_path + ".msnulldb")
+
+    if cfg.pml_index:
+        log("build_pml", "building the PML index")
+        dense = build_dense_index(raw, with_samples=False,
+                                  doc_start=doc_start, doc_end=doc_end)
+        save_dense_index(dense, ref_path + ".thrbv.spumoni")
+        _write_stats(dense, cfg.output_prefix + ".pml_index_stats.txt")
+
+        log("build_main", "building the empirical null statistic database for PML")
+        qfn = lambda reads: cpu_engine.query_pml(reads, threads=threads)
+        null_db = EmpNullDatabase.from_null_reads(
+            qfn, res.null_read_path, cfg.use_promotions, cfg.use_dna_letters,
+            cfg.k, cfg.w, cfg.is_general_text)
+        if not cfg.is_general_text:
+            null_db.ks_stat_threshold = find_ks_threshold(
+                qfn, res.null_read_path, null_db, cfg.bin_size,
+                cfg.use_promotions, cfg.use_dna_letters, cfg.k, cfg.w,
+                rand=rand)
+        else:
+            null_db.ks_stat_threshold = 0.10
+        null_db.save(ref_path + ".pmlnulldb")
+
+    if cfg.build_doc:
+        np.savez(ref_path + ".doc.npz", start_runs_doc=doc_start,
+                 end_runs_doc=doc_end)
+
+    if not cfg.keep_files:
+        _rm_temp_files(ref_path)
+    log("build_main", f"total elapsed time for build process (s): "
+                      f"{time.time() - t_start:.3f}")
+    return ref_path
+
+
+def _build_raw_cached(ref_path: str, text: np.ndarray, content_hash: str):
+    """Quick-build analog: cache the raw index keyed by the text hash."""
+    from .native import RawIndex
+    cache = ref_path + ".rawindex.npz"
+    if os.path.exists(cache):
+        data = np.load(cache)
+        if str(data.get("content_hash")) == content_hash:
+            log("build_main", "quick build is activated (raw index cache hit)")
+            return RawIndex(int(data["n"]), data["run_heads"],
+                            data["run_starts"], data["thresholds"],
+                            data["samples_start"], data["samples_last"])
+    raw = build_raw_index(text)
+    np.savez(cache, content_hash=content_hash, n=raw.n,
+             run_heads=raw.run_heads, run_starts=raw.run_starts,
+             thresholds=raw.thresholds, samples_start=raw.samples_start,
+             samples_last=raw.samples_last)
+    return raw
+
+
+def _rm_temp_files(ref_path: str) -> None:
+    """Counterpart of rm_temp_build_files (spumoni.cpp:502-522)."""
+    p = ref_path + ".rawindex.npz"
+    if os.path.exists(p):
+        os.remove(p)
+
+
+def _write_stats(dense: DenseIndex, path: str) -> None:
+    """*.ms_index_stats.txt / *.pml_index_stats.txt
+    (compute_ms_pml.cpp:204-209,532-538)."""
+    with open(path, "w") as f:
+        for key, val in dense.index_stats().items():
+            f.write(f"{key}: {val}\n")
+
+
+# ---------------------------------------------------------------------------
+# run
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class RunConfig:
+    """Mirror of SpumoniRunOptions (spumoni_main.hpp:233-330)."""
+    ref_file: str = ""        # index prefix (without .fa/.bin)
+    pattern_file: str = ""
+    ms_requested: bool = False
+    pml_requested: bool = False
+    use_doc: bool = False
+    write_report: bool = False
+    min_digest: bool = True
+    use_promotions: bool = False
+    use_dna_letters: bool = False
+    is_general_text: bool = False
+    k: int = DEFAULT_MIN_K
+    w: int = DEFAULT_MIN_W
+    bin_size: int = DEFAULT_BIN_SIZE
+    threads: int = 1
+    device: str = "tpu"       # 'tpu' | 'cpu'
+    batch_bases: int = 4_000_000
+
+    @property
+    def mode(self) -> str:
+        if self.ms_requested and not self.pml_requested:
+            return "ms"
+        if self.pml_requested and not self.ms_requested:
+            return "pml"
+        raise ValueError("exactly one of -M or -P must be specified")
+
+    def validate(self) -> None:
+        _ = self.mode
+        if not self.ref_file or not self.pattern_file:
+            raise ValueError("both a reference (-r) and pattern file (-p) "
+                             "are required")
+        if not os.path.isfile(self.pattern_file):
+            raise FileNotFoundError(self.pattern_file)
+        if self.min_digest and not self.is_general_text:
+            if self.use_promotions and self.use_dna_letters:
+                raise ValueError("only one minimizer type may be specified")
+            if not self.use_promotions and not self.use_dna_letters:
+                raise ValueError("a minimizer type (-m or -a) is required, "
+                                 "or disable digestion with -n")
+        if not MIN_BIN_SIZE <= self.bin_size <= MAX_BIN_SIZE:
+            raise ValueError(f"bin size must be in [{MIN_BIN_SIZE},{MAX_BIN_SIZE}]")
+
+
+def _make_engine(cfg: RunConfig, dense: DenseIndex):
+    if cfg.device == "cpu":
+        ss = _unorder_samples(dense, "c_ssamp")
+        es = _unorder_samples(dense, "c_esamp")
+        if ss is None:  # PML-only index carries no SA samples
+            ss = np.zeros(dense.r, dtype=np.int64)
+            es = np.zeros(dense.r, dtype=np.int64)
+        eng = NativeQueryEngine(
+            dense.n, dense.run_heads, dense.run_starts,
+            _unorder(dense, "c_thr"), ss, es,
+            start_doc=_unorder(dense, "c_sdoc"),
+            end_doc=_unorder(dense, "c_edoc"),
+            text=dense.text)
+
+        class _CpuWrapper:
+            def query(self, reads):
+                out = {}
+                if cfg.mode == "pml":
+                    if cfg.use_doc:
+                        lengths, docs = eng.query_pml(reads, with_docs=True,
+                                                      threads=cfg.threads)
+                        out["lengths"], out["docs"] = lengths, docs
+                    else:
+                        out["lengths"] = eng.query_pml(reads,
+                                                       threads=cfg.threads)
+                else:
+                    res = eng.query_ms(reads, with_docs=cfg.use_doc,
+                                       threads=cfg.threads)
+                    out["pointers"], out["lengths"] = res[0], res[1]
+                    if cfg.use_doc:
+                        out["docs"] = res[2]
+                return out
+        return _CpuWrapper()
+
+    from .engine.arrays import to_device_arrays
+    from .engine.scan_engine import ScanEngine
+    arrays, meta = to_device_arrays(dense)
+    return ScanEngine(arrays, meta, mode=cfg.mode, use_doc=cfg.use_doc)
+
+
+def _unorder(dense: DenseIndex, field: str):
+    """Dense tables are char-grouped; the CPU engine ctor wants run-major
+    inputs. Rebuild run-major order via run_heads' stable argsort inverse."""
+    arr = getattr(dense, field)
+    if arr is None:
+        return None
+    order = np.argsort(np.asarray(dense.run_heads), kind="stable")
+    out = np.empty_like(np.asarray(arr))
+    out[order] = np.asarray(arr)
+    return out
+
+
+def _unorder_samples(dense: DenseIndex, field: str):
+    """Same as _unorder, but undo the (sa-1) mod n storage convention since
+    the CPU-engine ctor re-applies it."""
+    arr = _unorder(dense, field)
+    if arr is None:
+        return None
+    n = dense.n
+    return np.where(arr == n - 1, 0, arr + 1)
+
+
+def run(cfg: RunConfig) -> int:
+    """Streams the query file through the engine; writes the output files.
+    Returns the number of reads processed."""
+    cfg.validate()
+    ext = ".bin" if cfg.use_promotions else ".fa"
+    base = cfg.ref_file + ext if not cfg.is_general_text else cfg.ref_file
+    index_path = base + (".thrbv.ms" if cfg.mode == "ms" else ".thrbv.spumoni")
+    dense = load_dense_index(index_path)
+    engine = _make_engine(cfg, dense)
+
+    if cfg.is_general_text:
+        return _run_general_text(cfg, engine)
+
+    null_db = EmpNullDatabase.load(
+        base + (".msnulldb" if cfg.mode == "ms" else ".pmlnulldb"))
+    thr = binmax.max_value_threshold(null_db.percentile_value,
+                                     cfg.use_promotions, cfg.use_dna_letters,
+                                     cfg.mode)
+
+    out_prefix = cfg.pattern_file
+    files = {}
+    if cfg.mode == "pml":
+        files["lengths"] = open(out_prefix + ".pseudo_lengths", "w")
+    else:
+        files["lengths"] = open(out_prefix + ".lengths", "w")
+        files["pointers"] = open(out_prefix + ".pointers", "w")
+    if cfg.use_doc:
+        files["docs"] = open(out_prefix + ".doc_numbers", "w")
+    if cfg.write_report:
+        files["report"] = open(out_prefix + ".report", "w")
+        files["report"].write(report_header(thr))
+
+    num_reads = 0
+    t0 = time.time()
+    total_bases = 0
+    for batch in batch_iter(iter_query_reads(cfg.pattern_file),
+                            cfg.batch_bases):
+        ids, reads = [], []
+        for rid, seq in batch:
+            rd = seq.upper()
+            if cfg.min_digest:
+                rd = digest(rd, cfg.use_promotions, cfg.use_dna_letters,
+                            cfg.k, cfg.w)
+            if len(rd) == 0:
+                raise ValueError(
+                    f"{rid} was empty after digestion; remove the read or run "
+                    f"without minimizer digestion")
+            ids.append(rid)
+            reads.append(rd)
+            total_bases += len(rd)
+        out = engine.query(reads)
+        for i, rid in enumerate(ids):
+            if cfg.use_doc:
+                write_values_record(files["docs"], rid, out["docs"][i])
+            if cfg.mode == "ms":
+                write_values_record(files["pointers"], rid, out["pointers"][i])
+            write_values_record(files["lengths"], rid, out["lengths"][i])
+            if cfg.write_report:
+                res = binmax.classify(out["lengths"][i], cfg.bin_size, thr)
+                files["report"].write(report_line(
+                    rid, res.status, res.avg_max, res.bins_above,
+                    res.bins_below))
+            num_reads += 1
+    dt = time.time() - t0
+    for f in files.values():
+        f.close()
+    log("run", f"processed {num_reads} reads ({total_bases} bases) in "
+               f"{dt:.2f}s -> {num_reads / max(dt, 1e-9):.1f} reads/s")
+    return num_reads
+
+
+def _run_general_text(cfg: RunConfig, engine) -> int:
+    """General-text querying: reads separated by \\x01
+    (compute_ms_pml.cpp:1219-1297)."""
+    with open(cfg.pattern_file, "rb") as f:
+        data = f.read()
+    reads = [r for r in data.split(b"\x01")]
+    # the reference only emits a read when it sees the separator; a trailing
+    # chunk without separator is dropped (pattern_fd.good() loop)
+    if not data.endswith(b"\x01") and reads:
+        reads = reads[:-1]
+    out_prefix = cfg.pattern_file
+    if cfg.mode == "pml":
+        lf = open(out_prefix + ".pseudo_lengths", "w")
+        out = engine.query(reads)
+        for i, r in enumerate(reads):
+            write_values_record(lf, f"read_{i}", out["lengths"][i])
+        lf.close()
+    else:
+        lf = open(out_prefix + ".lengths", "w")
+        pf = open(out_prefix + ".pointers", "w")
+        out = engine.query(reads)
+        for i, r in enumerate(reads):
+            write_values_record(lf, f"read_{i}", out["lengths"][i])
+            write_values_record(pf, f"read_{i}", out["pointers"][i])
+        lf.close()
+        pf.close()
+    return len(reads)
