@@ -1,0 +1,169 @@
+#!/usr/bin/env python
+"""Benchmark: PML classification throughput on one chip vs multithreaded CPU.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Workload (mirrors BASELINE.json config 3, pangenome classification):
+  * synthetic 5-strain pangenome (5 x 1 Mbp, 1% divergence) -> ~3.7M-run index
+  * 4096 nanopore-like reads of 1024 bp (half mutated substrings @ 8% error,
+    half random) per batch
+  * measured path: device-resident reads -> lockstep PML scan (engine v2,
+    layered 16-ary search) -> on-device bin-max classification -> per-read
+    verdict summaries to host (O(B) transfer)
+
+Baseline: the in-repo native CPU engine (same recurrence as reference
+SPUMONI's query loop, rank/select via binary search), measured with all local
+cores and extrapolated linearly to the 32 threads of BASELINE.md. The
+extrapolation favors the CPU (real scaling is sublinear), so vs_baseline is
+conservative.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+CACHE = os.path.join(os.path.expanduser("~"), ".cache", "spumoni_tpu", "bench")
+N_STRAINS = 5
+STRAIN_LEN = 1_000_000
+B, L = 4096, 1024
+BASELINE_THREADS = 32
+
+
+def get_index():
+    import spumoni_tpu  # noqa: F401
+    from spumoni_tpu.native import build_raw_index, RawIndex
+
+    os.makedirs(CACHE, exist_ok=True)
+    path = os.path.join(CACHE, f"pangenome_{N_STRAINS}x{STRAIN_LEN}.npz")
+    rng = np.random.default_rng(0)
+    acgt = np.frombuffer(b"ACGT", np.uint8)
+    base = rng.choice(acgt, size=STRAIN_LEN)
+    copies = [base]
+    for _ in range(N_STRAINS - 1):
+        c = base.copy()
+        mut = rng.random(len(c)) < 0.01
+        c[mut] = rng.choice(acgt, size=int(mut.sum()))
+        copies.append(c)
+    text = np.concatenate(copies)
+    if os.path.exists(path):
+        d = np.load(path)
+        raw = RawIndex(int(d["n"]), d["run_heads"], d["run_starts"],
+                       d["thresholds"], d["samples_start"], d["samples_last"])
+    else:
+        raw = build_raw_index(text)
+        np.savez(path, n=raw.n, run_heads=raw.run_heads,
+                 run_starts=raw.run_starts, thresholds=raw.thresholds,
+                 samples_start=raw.samples_start,
+                 samples_last=raw.samples_last)
+    return raw, text, rng
+
+
+def make_reads(rng, text, n_reads, read_len):
+    acgt = np.frombuffer(b"ACGT", np.uint8)
+    tb = text.tobytes()
+    out = np.empty((n_reads, read_len), dtype=np.uint8)
+    for i in range(n_reads):
+        if i % 2 == 0:
+            st = int(rng.integers(0, len(tb) - read_len))
+            rd = np.frombuffer(tb[st:st + read_len], np.uint8).copy()
+            mut = rng.random(read_len) < 0.08
+            rd[mut] = rng.choice(acgt, size=int(mut.sum()))
+            out[i] = rd
+        else:
+            out[i] = rng.choice(acgt, size=read_len)
+    return out
+
+
+def bench_tpu(raw, text, rng):
+    import jax
+    import jax.numpy as jnp
+    import functools
+    from spumoni_tpu.index.format import build_dense_index
+    from spumoni_tpu.engine.layered import build_layered
+    from spumoni_tpu.engine.scan_engine import query_batch_kernel_v2
+
+    dense = build_dense_index(raw)
+    arrays, meta = build_layered(dense)
+
+    reads = make_reads(rng, text, B, L)
+    rev = np.ascontiguousarray(reads[:, ::-1])
+    lens = np.full((B,), L, dtype=np.int64)
+
+    bin_width, thr = 150, 7
+    max_bins = max(1, -(-L // bin_width))
+
+    @functools.partial(jax.jit, static_argnames=())
+    def step(rev_d, lens_d):
+        vals, _ = query_batch_kernel_v2(arrays, rev_d, meta, "pml", False)
+        # on-device bin-max classification over the un-reversed view
+        p = jnp.arange(L)
+        flip = jnp.clip(lens_d[:, None] - 1 - p[None, :], 0, L - 1)
+        fwd = jnp.take_along_axis(vals, flip.astype(jnp.int32), axis=1)
+        nbins = jnp.maximum(lens_d // bin_width, 1)
+        binid = jnp.minimum(p[None, :] // bin_width, nbins[:, None] - 1)
+        valid = p[None, :] < lens_d[:, None]
+        neg = jnp.full_like(fwd, -1)
+        above = jnp.zeros((B,), jnp.int32)
+        for j in range(max_bins):
+            mx = jnp.max(jnp.where(valid & (binid == j), fwd, neg), axis=1)
+            above += ((mx >= thr) & (mx >= 0)).astype(jnp.int32)
+        below = nbins.astype(jnp.int32) - above
+        return (above > below), above, below
+
+    rev_d = jax.device_put(jnp.asarray(rev))
+    lens_d = jax.device_put(jnp.asarray(lens))
+    jax.block_until_ready((rev_d, lens_d))
+    found, above, below = step(rev_d, lens_d)   # compile + warm
+    found = np.asarray(found)
+    n_found = int(found.sum())
+    assert 0 < n_found < B, "classification degenerate"
+    # positives are even lanes: sanity check separation
+    assert found[::2].mean() > 0.95 and found[1::2].mean() < 0.05, \
+        (found[::2].mean(), found[1::2].mean())
+
+    reps = 3
+    t0 = time.time()
+    for _ in range(reps):
+        found, above, below = step(rev_d, lens_d)
+    np.asarray(found)
+    dt = (time.time() - t0) / reps
+    return B / dt, B * L / dt
+
+
+def bench_cpu(raw, text, rng):
+    from spumoni_tpu.native import NativeQueryEngine
+
+    eng = NativeQueryEngine(raw.n, raw.run_heads, raw.run_starts,
+                            raw.thresholds, raw.samples_start,
+                            raw.samples_last)
+    n_reads = 256
+    reads = [r.tobytes() for r in make_reads(rng, text, n_reads, L)]
+    threads = os.cpu_count() or 1
+    eng.query_pml(reads[:16], threads=threads)  # warm
+    t0 = time.time()
+    eng.query_pml(reads, threads=threads)
+    dt = time.time() - t0
+    per_thread = n_reads / dt / threads
+    return per_thread * BASELINE_THREADS  # linear extrapolation to 32 threads
+
+
+def main():
+    raw, text, rng = get_index()
+    tpu_reads_s, tpu_bases_s = bench_tpu(raw, text, rng)
+    cpu32_reads_s = bench_cpu(raw, text, rng)
+    print(json.dumps({
+        "metric": "pml_classify_reads_per_s_chip",
+        "value": round(tpu_reads_s, 2),
+        "unit": "reads/s (1024bp)",
+        "vs_baseline": round(tpu_reads_s / cpu32_reads_s, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

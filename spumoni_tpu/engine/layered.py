@@ -1,0 +1,220 @@
+"""Layered (multi-way B+-tree style) index layout — engine v2.
+
+Motivation (measured on TPU v5e): XLA lowers 1-element random gathers poorly
+(~100us per [8k]-lane gather round), while a 16-32-wide contiguous row gather
+costs about half that. The per-character binary search of engine v1
+(log2(R_c) ~ 18-27 dependent scalar probes per step) is therefore replaced by
+a NODE-ary layered search:
+
+  level t of char c holds every NODE^t-th run-start of c, padded with the
+  sentinel n to whole NODE-entry rows. Searching descends
+  D = ceil(log_NODE(R_c)) levels; each level is ONE row gather + a NODE-wide
+  compare-count (VPU).
+
+Per-run fields (start, len, cum, thr [, ssamp, esamp, sdoc, edoc]) are packed
+in PAIRS — row k holds the fields of run k and run k+1 — so the post-search
+fetch is a single row gather. Per-char scalars (F, cnt, lo0, hi0, level row
+offsets) pack into one [256, 16] "charmeta" row gather.
+
+Per step: 1 charmeta + D level + 1 field row-gathers
+(vs ~28 scalar gathers for engine v1; measured ~7x faster end to end).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+DEFAULT_NODE = 32
+
+
+class LayeredArrays(NamedTuple):
+    charmeta: jnp.ndarray            # [256, 16]: F, cnt, lo0, hi0, rowoff[t]..
+    levels: Tuple[jnp.ndarray, ...]  # D arrays [rows_t, NODE]
+    fields: jnp.ndarray              # [rp, 2W]: packed fields of runs k, k+1
+    text: Optional[jnp.ndarray]      # [nt] u8 (MS extension)
+    n: jnp.ndarray
+    last_run_sample: jnp.ndarray
+    last_run_edoc: jnp.ndarray
+    first_run_sdoc: jnp.ndarray
+
+
+class LayeredMeta(NamedTuple):
+    depth: int                # D
+    node: int                 # NODE width
+    dtype: str
+    width: int                # W (fields per run; row width is 2W)
+    has_samples: bool
+    has_doc: bool
+    has_text: bool
+
+
+# field slot order inside a W-wide half-row
+F_START, F_LEN, F_CUM, F_THR, F_SSAMP, F_ESAMP, F_SDOC, F_EDOC = range(8)
+
+
+def build_layered(idx, want_samples=None, want_doc=None, want_text=None,
+                  node: int = DEFAULT_NODE):
+    """DenseIndex -> (LayeredArrays on device, LayeredMeta)."""
+    if want_samples is None:
+        want_samples = idx.c_ssamp is not None
+    if want_doc is None:
+        want_doc = idx.c_sdoc is not None
+    if want_text is None:
+        want_text = idx.text is not None
+
+    n = int(idx.n)
+    dtype = np.int32 if n < 2**31 - 2 else np.int64
+    char_off = np.asarray(idx.char_off, dtype=np.int64)
+    runs_per_char = np.diff(char_off)
+    max_rc = int(runs_per_char.max()) if idx.r else 1
+    D = max(1, math.ceil(math.log(max(max_rc, 2), node)))
+    assert 4 + D <= 16, "depth too large for charmeta row"
+
+    c_start = np.asarray(idx.c_start, dtype=np.int64)
+
+    # --- levels ---
+    levels = []
+    rowoffs = np.zeros((D, 256), dtype=np.int64)
+    for t in range(D):
+        step = node ** t
+        rows_all = []
+        off = 0
+        for c in range(256):
+            lo, hi = char_off[c], char_off[c + 1]
+            entries = c_start[lo:hi:step]
+            nrows = max(1, -(-len(entries) // node))
+            pad = nrows * node - len(entries)
+            if pad:
+                entries = np.concatenate(
+                    [entries, np.full(pad, n, dtype=np.int64)])
+            rowoffs[t, c] = off
+            rows_all.append(entries.reshape(nrows, node))
+            off += nrows
+        levels.append(np.concatenate(rows_all, axis=0).astype(dtype))
+
+    # --- charmeta ---
+    charmeta = np.zeros((256, 16), dtype=np.int64)
+    charmeta[:, 0] = np.asarray(idx.F)
+    charmeta[:, 1] = np.asarray(idx.cnt)
+    charmeta[:, 2] = char_off[:256]
+    charmeta[:, 3] = char_off[1:257]
+    for t in range(D):
+        charmeta[:, 4 + t] = rowoffs[t]
+
+    # --- packed paired fields: row k = fields(run k) ++ fields(run k+1) ---
+    W = 8 if (want_samples or want_doc) else 4
+    r = int(idx.r)
+    rp = max(1, 1 << (r - 1).bit_length())
+    single = np.zeros((rp + 1, W), dtype=np.int64)
+    single[:, F_START] = n  # sentinel start for padded slots
+    single[:r, F_START] = c_start
+    single[:r, F_LEN] = np.asarray(idx.c_len)
+    single[:r, F_CUM] = np.asarray(idx.c_cum)
+    single[:r, F_THR] = np.asarray(idx.c_thr)
+    if want_samples:
+        single[:r, F_SSAMP] = np.asarray(idx.c_ssamp)
+        single[:r, F_ESAMP] = np.asarray(idx.c_esamp)
+    if want_doc:
+        single[:r, F_SDOC] = np.asarray(idx.c_sdoc)
+        single[:r, F_EDOC] = np.asarray(idx.c_edoc)
+    fields = np.concatenate([single[:rp], single[1:rp + 1]], axis=1)
+
+    text = None
+    if want_text and idx.text is not None:
+        t_ = np.asarray(idx.text, dtype=np.uint8)
+        tp = max(1, 1 << (len(t_) - 1).bit_length())
+        if tp != len(t_):
+            t_ = np.concatenate([t_, np.zeros(tp - len(t_), dtype=np.uint8)])
+        text = jnp.asarray(t_)
+
+    arrays = LayeredArrays(
+        charmeta=jnp.asarray(charmeta.astype(dtype)),
+        levels=tuple(jnp.asarray(lv) for lv in levels),
+        fields=jnp.asarray(fields.astype(dtype)),
+        text=text,
+        n=jnp.asarray(np.asarray(n, dtype=dtype)),
+        last_run_sample=jnp.asarray(np.asarray(idx.last_run_sample, dtype=dtype)),
+        last_run_edoc=jnp.asarray(np.asarray(idx.last_run_edoc, dtype=dtype)),
+        first_run_sdoc=jnp.asarray(np.asarray(idx.first_run_sdoc, dtype=dtype)),
+    )
+    meta = LayeredMeta(depth=D, node=node, dtype=np.dtype(dtype).name, width=W,
+                       has_samples=bool(want_samples), has_doc=bool(want_doc),
+                       has_text=text is not None)
+    return arrays, meta
+
+
+def make_layered_step_fn(meta: LayeredMeta, mode: str, use_doc: bool):
+    """One backward step over a [B] batch using the layered search."""
+    ms = mode == "ms"
+    D, NODE, W = meta.depth, meta.node, meta.width
+
+    def step(ix: LayeredArrays, carry, chars):
+        pos, length, sample, doc = carry
+        dt = pos.dtype
+        c = chars.astype(dt)
+        cm = ix.charmeta[c]                     # [B, 16]
+        Fc, cntc, lo0, hi0 = cm[:, 0], cm[:, 1], cm[:, 2], cm[:, 3]
+
+        # NODE-ary descent: rank = index within char of last run-start <= pos;
+        # m == 0 is only possible at the root (pos before the first c-run).
+        rank = jnp.zeros_like(pos)
+        dead = jnp.zeros(pos.shape, dtype=bool)
+        for t in range(D - 1, -1, -1):
+            rows = ix.levels[t][cm[:, 4 + t] + rank]          # [B, NODE]
+            m = jnp.sum(rows <= pos[:, None], axis=1).astype(dt)
+            if t == D - 1:
+                dead = m == 0
+            rank = rank * NODE + jnp.maximum(m - 1, 0)
+        valid_k = ~dead
+        k = lo0 + rank
+
+        # one paired-field row gather: valid lanes read runs (k, k+1);
+        # dead lanes read (lo0, lo0+1) — their "next c-run" is slot lo0,
+        # whose threshold is 0, forcing the jump-down the reference takes
+        # when rank(pos,c) == 0 (compute_ms_pml.cpp:259-268).
+        rp = ix.fields.shape[0]
+        probe = jnp.where(valid_k, k, lo0)
+        row = ix.fields[jnp.clip(probe, 0, rp - 1)]           # [B, 2W]
+        fk = row[:, :W]
+        fnext = jnp.where(valid_k[:, None], row[:, W:], row[:, :W])
+
+        start_k, len_k, cum_k = fk[:, F_START], fk[:, F_LEN], fk[:, F_CUM]
+        is_match = valid_k & (pos < start_k + len_k)
+        rnk = jnp.where(valid_k,
+                        cum_k + jnp.minimum(pos - start_k, len_k), 0)
+        has_next = jnp.where(valid_k, (rank + 1) < (hi0 - lo0), cntc > 0)
+        thr = fnext[:, F_THR]
+
+        jump_down = (~is_match) & has_next & (pos >= thr)
+        empty = cntc == 0
+
+        new_length = jnp.where(is_match, length + 1, 0)
+        new_pos = jnp.where(empty, Fc,
+                  jnp.where(is_match | jump_down, Fc + rnk, Fc + rnk - 1))
+
+        if ms:
+            new_sample = jnp.where(empty, 0,
+                         jnp.where(is_match, sample - 1,
+                         jnp.where(jump_down, fnext[:, F_SSAMP],
+                                   fk[:, F_ESAMP])))
+        else:
+            new_sample = sample
+        if use_doc:
+            jumped = jnp.where(jump_down, fnext[:, F_SDOC], fk[:, F_EDOC])
+            if ms:
+                new_doc = jnp.where(empty, ix.first_run_sdoc,
+                          jnp.where(is_match, doc, jumped))
+            else:
+                new_doc = jnp.where(empty | is_match, doc, jumped)
+        else:
+            new_doc = doc
+
+        emit = (new_sample if ms else new_length, new_doc)
+        return (new_pos, new_length, new_sample, new_doc), emit
+
+    return step

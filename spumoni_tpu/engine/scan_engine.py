@@ -97,6 +97,27 @@ def make_step_fn(meta: IndexMeta, mode: str, use_doc: bool, r: int):
     return step
 
 
+@functools.partial(jax.jit, static_argnames=("meta", "mode", "use_doc"))
+def query_batch_kernel_v2(ix, reads_rev: jnp.ndarray, meta, mode: str,
+                          use_doc: bool):
+    """Layered-search variant (engine v2, see layered.py)."""
+    from .layered import make_layered_step_fn
+
+    B = reads_rev.shape[0]
+    dt = ix.fields.dtype
+    step = make_layered_step_fn(meta, mode, use_doc)
+
+    pos0 = jnp.full((B,), ix.n - 1, dtype=dt)
+    len0 = jnp.zeros((B,), dtype=dt)
+    samp0 = jnp.full((B,), ix.last_run_sample, dtype=dt)
+    doc0 = jnp.full((B,), ix.last_run_edoc, dtype=dt)
+
+    xs = reads_rev.T
+    _, (vals, docs) = jax.lax.scan(
+        lambda carry, ch: step(ix, carry, ch), (pos0, len0, samp0, doc0), xs)
+    return vals.T, (docs.T if use_doc else None)
+
+
 @functools.partial(jax.jit, static_argnames=("meta", "mode", "use_doc", "r"))
 def query_batch_kernel(ix: IndexArrays, reads_rev: jnp.ndarray,
                        meta: IndexMeta, mode: str, use_doc: bool, r: int):
@@ -172,7 +193,7 @@ class ScanEngine:
     The counterpart of pml_t / ms_t (compute_ms_pml.cpp:694-838).
     """
 
-    def __init__(self, arrays: IndexArrays, meta: IndexMeta, mode: str = "pml",
+    def __init__(self, arrays, meta, mode: str = "pml",
                  use_doc: bool = False, pad_to: int = 128):
         assert mode in ("pml", "ms")
         if mode == "ms" and not meta.has_samples:
@@ -184,7 +205,9 @@ class ScanEngine:
         self.mode = mode
         self.use_doc = use_doc
         self.pad_to = pad_to
-        self.r = int(arrays.c_start.shape[0])
+        self.layered = hasattr(arrays, "fields")
+        self.r = int(arrays.fields.shape[0] if self.layered
+                     else arrays.c_start.shape[0])
         self.nt = int(arrays.text.shape[0]) if arrays.text is not None else 0
 
     def _bucket_L(self, m: int) -> int:
@@ -205,9 +228,14 @@ class ScanEngine:
             fwd[i, :len(a)] = a
             rev[i, :len(a)] = a[::-1]
             lens[i] = len(a)
-        vals, docs = query_batch_kernel(
-            self.arrays, jnp.asarray(rev), self.meta, self.mode, self.use_doc,
-            self.r)
+        if self.layered:
+            vals, docs = query_batch_kernel_v2(
+                self.arrays, jnp.asarray(rev), self.meta, self.mode,
+                self.use_doc)
+        else:
+            vals, docs = query_batch_kernel(
+                self.arrays, jnp.asarray(rev), self.meta, self.mode,
+                self.use_doc, self.r)
         vals = np.asarray(vals)
         nreads = len(reads)
         out = {}

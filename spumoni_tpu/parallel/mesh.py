@@ -1,0 +1,152 @@
+"""Scale-out layer: data-parallel querying over a jax.sharding.Mesh.
+
+The reference's only parallelism is OpenMP threads over read batches
+(compute_ms_pml.cpp:894,1082). The TPU-native equivalent (SURVEY.md §2.2):
+
+  * the index arrays are REPLICATED across the mesh (they are the "weights");
+  * read batches are sharded along the 'data' axis (each device runs the
+    lockstep scan over its shard of lanes);
+  * classification verdicts are computed on device and merged with psum —
+    only per-read summaries (or, when requested, the full value matrix)
+    return to the host.
+
+The same code path runs on one chip (trivial mesh), a multi-chip host, or —
+with jax.distributed — a multi-host pod slice, since pjit + NamedSharding
+compile to the appropriate ICI/DCN collectives automatically.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..engine.arrays import IndexArrays, IndexMeta
+from ..engine.layered import LayeredArrays, make_layered_step_fn
+from ..engine.scan_engine import make_step_fn
+
+
+def make_data_mesh(devices=None, axis: str = "data") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def replicate_index(arrays, mesh: Mesh):
+    """Places every index array replicated on the mesh (any pytree)."""
+    repl = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda a: jax.device_put(a, repl), arrays)
+
+
+def _step_fn_for(arrays, meta, mode, use_doc, r):
+    if isinstance(arrays, LayeredArrays) or hasattr(arrays, "fields"):
+        return make_layered_step_fn(meta, mode, use_doc)
+    return make_step_fn(meta, mode, use_doc, r)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("meta", "mode", "use_doc", "r", "bin_width", "max_bins"))
+def sharded_classify_kernel(ix: IndexArrays, reads_rev, lens, max_value_thr,
+                            meta: IndexMeta, mode: str, use_doc: bool, r: int,
+                            bin_width: int, max_bins: int):
+    """Full device-side PML pipeline for one sharded batch: lockstep scan ->
+    per-lane bin-max classification -> global psum of found counts.
+
+    reads_rev [B, L] is sharded on axis 0; the index is replicated. Returns
+    (vals [B, L] reversed order, found [B], above [B], below [B],
+    sum_maxes [B], total_found scalar).
+    """
+    B, L = reads_rev.shape
+    dt = (ix.fields if hasattr(ix, "fields") else ix.c_start).dtype
+    step = _step_fn_for(ix, meta, mode, use_doc, r)
+
+    pos0 = jnp.full((B,), ix.n - 1, dtype=dt)
+    len0 = jnp.zeros((B,), dtype=dt)
+    samp0 = jnp.full((B,), ix.last_run_sample, dtype=dt)
+    doc0 = jnp.full((B,), ix.last_run_edoc, dtype=dt)
+    _, (vals, _) = jax.lax.scan(
+        lambda carry, ch: step(ix, carry, ch), (pos0, len0, samp0, doc0),
+        reads_rev.T)
+    vals = vals.T  # [B, L] (reversed read order per lane)
+
+    # classification on the reversed values: window maxima are computed on the
+    # un-reversed view via index flip (gather), preserving the tail-merge rule
+    p = jnp.arange(L)
+    flip_idx = jnp.clip(lens[:, None] - 1 - p[None, :], 0, L - 1)
+    fwd_vals = jnp.take_along_axis(vals, flip_idx.astype(jnp.int32), axis=1)
+
+    nbins = jnp.maximum(lens // bin_width, 1)
+    binid = jnp.minimum(p[None, :] // bin_width, nbins[:, None] - 1)
+    valid = p[None, :] < lens[:, None]
+    neg = jnp.full_like(fwd_vals, -1)
+    above = jnp.zeros((B,), dtype=jnp.int32)
+    sum_maxes = jnp.zeros((B,), dtype=fwd_vals.dtype)
+    for j in range(max_bins):
+        sel = jnp.where(valid & (binid == j), fwd_vals, neg)
+        mx = jnp.max(sel, axis=1)
+        has = mx >= 0
+        above = above + ((mx >= max_value_thr) & has).astype(jnp.int32)
+        sum_maxes = sum_maxes + jnp.where(has, mx, 0)
+    below = nbins.astype(jnp.int32) - above
+    is_read = lens > 0
+    found = (above > below) & is_read
+    total_found = jnp.sum(found.astype(jnp.int32))
+    return vals, found, above, below, sum_maxes, total_found
+
+
+class ShardedPmlClassifier:
+    """Data-parallel PML classification over a mesh (replicated index)."""
+
+    def __init__(self, arrays, meta, mesh: Mesh,
+                 bin_width: int, max_value_thr: int, axis: str = "data"):
+        self.mesh = mesh
+        self.axis = axis
+        self.arrays = replicate_index(arrays, mesh)
+        self.meta = meta
+        self.r = int((arrays.fields if hasattr(arrays, "fields")
+                      else arrays.c_start).shape[0])
+        self.bin_width = bin_width
+        self.max_value_thr = max_value_thr
+        self.ndev = mesh.devices.size
+
+    def classify(self, reads, pad_to: int = 128, want_values: bool = True):
+        """Returns dict of per-read outputs (host numpy). The batch is padded
+        to a lane count divisible by the mesh size and sharded over it."""
+        nreads = len(reads)
+        maxm = max((len(r) for r in reads), default=1)
+        L = pad_to
+        while L < maxm:
+            L *= 2
+        B = max(self.ndev, 1 << max(0, (nreads - 1)).bit_length())
+        if B % self.ndev:
+            B = ((B // self.ndev) + 1) * self.ndev
+        rev = np.zeros((B, L), dtype=np.uint8)
+        lens = np.zeros((B,), dtype=np.int64)
+        for i, rd in enumerate(reads):
+            a = np.frombuffer(bytes(rd), dtype=np.uint8)
+            rev[i, :len(a)] = a[::-1]
+            lens[i] = len(a)
+
+        shard = NamedSharding(self.mesh, P(self.axis, None))
+        shard1 = NamedSharding(self.mesh, P(self.axis))
+        rev_d = jax.device_put(jnp.asarray(rev), shard)
+        lens_d = jax.device_put(jnp.asarray(lens), shard1)
+        max_bins = max(1, -(-L // self.bin_width))
+        vals, found, above, below, sums, total = sharded_classify_kernel(
+            self.arrays, rev_d, lens_d, self.max_value_thr, self.meta, "pml",
+            False, self.r, self.bin_width, max_bins)
+        out = {
+            "found": np.asarray(found)[:nreads],
+            "above": np.asarray(above)[:nreads],
+            "below": np.asarray(below)[:nreads],
+            "sum_maxes": np.asarray(sums)[:nreads],
+            "total_found": int(total),
+        }
+        if want_values:
+            v = np.asarray(vals)
+            out["lengths"] = [v[i, :lens[i]][::-1].copy()
+                              for i in range(nreads)]
+        return out

@@ -325,9 +325,9 @@ def _make_engine(cfg: RunConfig, dense: DenseIndex):
                 return out
         return _CpuWrapper()
 
-    from .engine.arrays import to_device_arrays
+    from .engine.layered import build_layered
     from .engine.scan_engine import ScanEngine
-    arrays, meta = to_device_arrays(dense)
+    arrays, meta = build_layered(dense)
     return ScanEngine(arrays, meta, mode=cfg.mode, use_doc=cfg.use_doc)
 
 
@@ -429,11 +429,9 @@ def _run_general_text(cfg: RunConfig, engine) -> int:
     (compute_ms_pml.cpp:1219-1297)."""
     with open(cfg.pattern_file, "rb") as f:
         data = f.read()
-    reads = [r for r in data.split(b"\x01")]
-    # the reference only emits a read when it sees the separator; a trailing
-    # chunk without separator is dropped (pattern_fd.good() loop)
-    if not data.endswith(b"\x01") and reads:
-        reads = reads[:-1]
+    # the reference emits a read only at each separator; the chunk after the
+    # final \x01 (possibly empty) is never emitted (pattern_fd.good() loop)
+    reads = data.split(b"\x01")[:-1]
     out_prefix = cfg.pattern_file
     if cfg.mode == "pml":
         lf = open(out_prefix + ".pseudo_lengths", "w")

@@ -3,11 +3,19 @@ collective logic is exercised without TPU hardware (SURVEY.md §4.3)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force the CPU backend (the environment presets JAX_PLATFORMS=axon/tpu) —
+# tests must run without TPU hardware, on a virtual 8-device mesh. The axon
+# plugin partially imports jax at interpreter startup, capturing the env var,
+# so the config must be updated explicitly as well.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

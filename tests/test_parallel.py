@@ -1,0 +1,87 @@
+"""Sharded (8 virtual CPU devices) data-parallel classification must agree
+bit-for-bit with the single-device engine + host classifier."""
+
+import jax
+import numpy as np
+
+from spumoni_tpu.native import build_raw_index, NativeQueryEngine
+from spumoni_tpu.index.format import build_dense_index
+from spumoni_tpu.engine.arrays import to_device_arrays
+from spumoni_tpu.classify import binmax
+from spumoni_tpu.classify.device import classify_batch
+from spumoni_tpu.parallel.mesh import ShardedPmlClassifier, make_data_mesh
+
+from conftest import rand_dna, mutated_substring
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_device_classifier_matches_host(rng):
+    bw = 150
+    for _ in range(20):
+        m = int(rng.integers(1, 700))
+        vals = rng.integers(0, 40, size=m)
+        host = binmax.classify(vals, bw, 10)
+        mat = np.zeros((1, 1024), dtype=np.int64)
+        mat[0, :m] = vals
+        found, above, below, sums = classify_batch(mat, np.array([m]), 10, bw)
+        assert (host.status == "FOUND") == bool(found[0])
+        assert host.bins_above == above[0]
+        assert host.bins_below == below[0]
+        assert host.bin_maxes.sum() == sums[0]
+
+
+def test_sharded_classifier_matches_native(rng, make_reads):
+    text = rand_dna(rng, 4000)
+    tarr = np.frombuffer(text, np.uint8)
+    raw = build_raw_index(tarr)
+    dense = build_dense_index(raw)
+    arrays, meta = to_device_arrays(dense)
+    native = NativeQueryEngine(raw.n, raw.run_heads, raw.run_starts,
+                               raw.thresholds, raw.samples_start,
+                               raw.samples_last)
+
+    mesh = make_data_mesh()
+    clf = ShardedPmlClassifier(arrays, meta, mesh, bin_width=150,
+                               max_value_thr=5)
+    reads = [mutated_substring(rng, text, 400, err=0.05) for _ in range(9)]
+    reads += [rand_dna(rng, 400) for _ in range(10)]
+    out = clf.classify(reads)
+
+    ref_lengths = native.query_pml(reads)
+    n_found = 0
+    for i, rd in enumerate(reads):
+        assert np.array_equal(out["lengths"][i], ref_lengths[i]), i
+        host = binmax.classify(ref_lengths[i], 150, 5)
+        assert (host.status == "FOUND") == bool(out["found"][i]), i
+        assert host.bins_above == out["above"][i]
+        assert host.bins_below == out["below"][i]
+        n_found += host.status == "FOUND"
+    assert out["total_found"] == n_found
+    assert n_found >= 8  # mutated substrings should classify as FOUND
+
+
+def test_sharded_classifier_layered(rng, make_reads):
+    from spumoni_tpu.engine.layered import build_layered
+
+    text = rand_dna(rng, 4000)
+    tarr = np.frombuffer(text, np.uint8)
+    raw = build_raw_index(tarr)
+    dense = build_dense_index(raw)
+    arrays, meta = build_layered(dense)
+    native = NativeQueryEngine(raw.n, raw.run_heads, raw.run_starts,
+                               raw.thresholds, raw.samples_start,
+                               raw.samples_last)
+    mesh = make_data_mesh()
+    clf = ShardedPmlClassifier(arrays, meta, mesh, bin_width=150,
+                               max_value_thr=5)
+    reads = [mutated_substring(rng, text, 300, err=0.05) for _ in range(8)]
+    reads += [rand_dna(rng, 300) for _ in range(8)]
+    out = clf.classify(reads)
+    ref = native.query_pml(reads)
+    for i in range(len(reads)):
+        assert np.array_equal(out["lengths"][i], ref[i]), i
+        host = binmax.classify(ref[i], 150, 5)
+        assert (host.status == "FOUND") == bool(out["found"][i]), i

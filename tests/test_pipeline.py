@@ -1,0 +1,224 @@
+"""End-to-end build/run pipeline tests (CPU device): CLI-level flows for PML,
+MS, doc arrays, minimizers and general text."""
+
+import os
+
+import numpy as np
+import pytest
+
+from spumoni_tpu.pipeline import BuildConfig, RunConfig, build, run
+
+ACGT = "ACGT"
+
+
+def _write_genome(path, rng, contigs=(("chr1", 20000), ("chr2", 8000))):
+    seqs = {}
+    with open(path, "w") as f:
+        for name, size in contigs:
+            s = "".join(ACGT[i] for i in rng.integers(0, 4, size=size))
+            seqs[name] = s
+            f.write(f">{name} test\n")
+            for i in range(0, len(s), 70):
+                f.write(s[i:i + 70] + "\n")
+    return seqs
+
+
+def _write_reads(path, rng, genome, n_pos=6, n_neg=6, m=400, err=0.08):
+    with open(path, "w") as f:
+        for i in range(n_pos):
+            st = int(rng.integers(0, len(genome) - m))
+            rd = list(genome[st:st + m])
+            for k in range(len(rd)):
+                if rng.random() < err:
+                    rd[k] = ACGT[int(rng.integers(4))]
+            f.write(f">pos_{i}\n{''.join(rd)}\n")
+        for i in range(n_neg):
+            rd = "".join(ACGT[j] for j in rng.integers(0, 4, size=m))
+            f.write(f">neg_{i}\n{rd}\n")
+
+
+def _parse_values_file(path):
+    out = {}
+    with open(path) as f:
+        name = None
+        for line in f:
+            if line.startswith(">"):
+                name = line[1:].rstrip("\n")
+            else:
+                out[name] = np.array([int(x) for x in line.split()])
+    return out
+
+
+def _parse_report(path):
+    rows = {}
+    with open(path) as f:
+        next(f)
+        for line in f:
+            parts = line.split()
+            if parts:
+                rows[parts[0]] = parts[1]
+    return rows
+
+
+@pytest.fixture
+def workdir(tmp_path, rng):
+    genome_path = str(tmp_path / "genome.fa")
+    reads_path = str(tmp_path / "reads.fa")
+    seqs = _write_genome(genome_path, rng)
+    genome = "".join(seqs.values())
+    _write_reads(reads_path, rng, genome)
+    return tmp_path, genome_path, reads_path
+
+
+def test_pml_end_to_end(workdir):
+    tmp, genome_path, reads_path = workdir
+    cfg = BuildConfig(ref_file=genome_path, output_prefix=str(tmp / "idx"),
+                      pml_index=True, use_minimizers=False)
+    build(cfg)
+    assert os.path.exists(str(tmp / "idx.fa.thrbv.spumoni.npz"))
+    assert os.path.exists(str(tmp / "idx.pml_index_stats.txt"))
+    assert os.path.exists(str(tmp / "spumoni_null_reads.fa"))
+
+    rcfg = RunConfig(ref_file=str(tmp / "idx"), pattern_file=reads_path,
+                     pml_requested=True, min_digest=False, write_report=True,
+                     device="cpu")
+    n = run(rcfg)
+    assert n == 12
+    vals = _parse_values_file(reads_path + ".pseudo_lengths")
+    assert len(vals) == 12
+    report = _parse_report(reads_path + ".report")
+    for rid, status in report.items():
+        expect = "FOUND" if rid.startswith("pos") else "NOT_PRESENT"
+        assert status == expect, (rid, status)
+
+
+def test_ms_end_to_end(workdir):
+    tmp, genome_path, reads_path = workdir
+    cfg = BuildConfig(ref_file=genome_path, output_prefix=str(tmp / "idx"),
+                      ms_index=True, use_minimizers=False)
+    build(cfg)
+    rcfg = RunConfig(ref_file=str(tmp / "idx"), pattern_file=reads_path,
+                     ms_requested=True, min_digest=False, write_report=True,
+                     device="cpu")
+    n = run(rcfg)
+    assert n == 12
+    lens = _parse_values_file(reads_path + ".lengths")
+    ptrs = _parse_values_file(reads_path + ".pointers")
+    assert set(lens) == set(ptrs) and len(lens) == 12
+    # MS lengths of an exact substring read should reach the read length
+    report = _parse_report(reads_path + ".report")
+    assert all(report[r] == "FOUND" for r in report if r.startswith("pos"))
+
+
+def test_tpu_cpu_engine_agreement(workdir):
+    tmp, genome_path, reads_path = workdir
+    cfg = BuildConfig(ref_file=genome_path, output_prefix=str(tmp / "idx"),
+                      pml_index=True, ms_index=True, use_minimizers=False)
+    build(cfg)
+    for mode in ("pml", "ms"):
+        outs = {}
+        for device in ("cpu", "tpu"):  # 'tpu' resolves to host CPU devices here
+            rcfg = RunConfig(ref_file=str(tmp / "idx"),
+                             pattern_file=reads_path,
+                             pml_requested=mode == "pml",
+                             ms_requested=mode == "ms",
+                             min_digest=False, device=device)
+            run(rcfg)
+            suffix = ".pseudo_lengths" if mode == "pml" else ".lengths"
+            outs[device] = _parse_values_file(reads_path + suffix)
+        for rid in outs["cpu"]:
+            assert np.array_equal(outs["cpu"][rid], outs["tpu"][rid]), rid
+
+
+def test_filelist_doc_array(tmp_path, rng):
+    # two documents, two files each
+    paths = []
+    genomes = []
+    for d in range(2):
+        g = ""
+        for j in range(2):
+            p = str(tmp_path / f"doc{d}_{j}.fa")
+            seqs = _write_genome(p, rng, contigs=((f"seq{d}{j}", 5000),))
+            g += "".join(seqs.values())
+            paths.append((p, d + 1))
+        genomes.append(g)
+    list_path = str(tmp_path / "files.txt")
+    with open(list_path, "w") as f:
+        for p, did in paths:
+            f.write(f"{p} {did}\n")
+    reads_path = str(tmp_path / "reads.fa")
+    with open(reads_path, "w") as f:
+        for d, g in enumerate(genomes):
+            st = 1000
+            f.write(f">from_doc{d + 1}\n{g[st:st + 300]}\n")
+
+    cfg = BuildConfig(input_list=list_path, output_prefix=str(tmp_path / "idx"),
+                      pml_index=True, use_minimizers=False, build_doc=True)
+    build(cfg)
+    assert os.path.exists(str(tmp_path / "idx.fa.fdi"))
+    rcfg = RunConfig(ref_file=str(tmp_path / "idx"), pattern_file=reads_path,
+                     pml_requested=True, min_digest=False, use_doc=True,
+                     device="cpu")
+    run(rcfg)
+    docs = _parse_values_file(reads_path + ".doc_numbers")
+    # doc ids are 0-based ranks over document ends (doc_array.cpp:88-92);
+    # an exact substring from document d should be assigned id d-1 over the
+    # bulk of its positions (start-up positions may differ)
+    for d in (1, 2):
+        arr = docs[f"from_doc{d}"]
+        frac = np.mean(arr == d - 1)
+        assert frac > 0.9, (d, frac, arr[:20])
+
+
+def test_general_text(tmp_path, rng):
+    data = bytes(rng.integers(97, 123, size=30000).astype(np.uint8))
+    ref_path = str(tmp_path / "corpus.txt")
+    with open(ref_path, "wb") as f:
+        f.write(data)
+    # queries: two substrings + one random string, \x01-separated
+    q1 = data[500:800]
+    q2 = data[10000:10400]
+    q3 = bytes(rng.integers(97, 123, size=300).astype(np.uint8))
+    pattern_path = str(tmp_path / "queries.txt")
+    with open(pattern_path, "wb") as f:
+        f.write(q1 + b"\x01" + q2 + b"\x01" + q3 + b"\x01")
+
+    cfg = BuildConfig(ref_file=ref_path, output_prefix=str(tmp_path / "idx"),
+                      ms_index=True, pml_index=True, is_general_text=True,
+                      use_minimizers=False)
+    build(cfg)
+    rcfg = RunConfig(ref_file=ref_path, pattern_file=pattern_path,
+                     ms_requested=True, is_general_text=True,
+                     min_digest=False, device="cpu")
+    n = run(rcfg)
+    assert n == 3
+    lens = _parse_values_file(pattern_path + ".lengths")
+    assert lens["read_0"][0] == len(q1)  # exact substring: full-length match
+    assert lens["read_1"][0] == len(q2)
+    assert lens["read_2"].max() < 50
+
+
+def test_minimizer_modes(tmp_path, rng):
+    genome_path = str(tmp_path / "genome.fa")
+    seqs = _write_genome(genome_path, rng, contigs=(("chr1", 30000),))
+    genome = "".join(seqs.values())
+    reads_path = str(tmp_path / "reads.fa")
+    _write_reads(reads_path, rng, genome, n_pos=4, n_neg=4, m=500, err=0.02)
+
+    for flag, ext in (("use_dna_letters", ".fa"), ("use_promotions", ".bin")):
+        prefix = str(tmp_path / f"idx_{flag}")
+        cfg = BuildConfig(ref_file=genome_path, output_prefix=prefix,
+                          pml_index=True, **{flag: True})
+        build(cfg)
+        assert os.path.exists(prefix + ext)
+        rcfg = RunConfig(ref_file=prefix, pattern_file=reads_path,
+                         pml_requested=True, write_report=True, device="cpu",
+                         **{flag: True})
+        run(rcfg)
+        report = _parse_report(reads_path + ".report")
+        pos_found = sum(report[r] == "FOUND" for r in report
+                        if r.startswith("pos"))
+        neg_found = sum(report[r] == "FOUND" for r in report
+                        if r.startswith("neg"))
+        assert pos_found >= 3, (flag, report)
+        assert neg_found == 0, (flag, report)
