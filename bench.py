@@ -9,7 +9,7 @@ Workload (mirrors BASELINE.json config 3, pangenome classification):
   * 4096 nanopore-like reads of 1024 bp (half mutated substrings @ 8% error,
     half random) per batch
   * measured path: device-resident reads -> lockstep PML scan (engine v2,
-    layered 16-ary search) -> on-device bin-max classification -> per-read
+    layered 64-ary search + fused per-char MXU lookup) -> on-device bin-max classification -> per-read
     verdict summaries to host (O(B) transfer)
 
 Baseline: the in-repo native CPU engine (same recurrence as reference
@@ -31,7 +31,7 @@ import numpy as np
 CACHE = os.path.join(os.path.expanduser("~"), ".cache", "spumoni_tpu", "bench")
 N_STRAINS = 5
 STRAIN_LEN = 1_000_000
-B, L = 4096, 1024
+B, L = 65536, 1024
 BASELINE_THREADS = 32
 
 
@@ -89,10 +89,14 @@ def bench_tpu(raw, text, rng):
     from spumoni_tpu.engine.scan_engine import query_batch_kernel_v2
 
     dense = build_dense_index(raw)
-    arrays, meta = build_layered(dense)
+    arrays, meta, host = build_layered(dense)
 
     reads = make_reads(rng, text, B, L)
     rev = np.ascontiguousarray(reads[:, ::-1])
+    # reduced-alphabet fused lookup: rank-map reads on the host
+    alphabet = tuple(sorted(set(host.index_chars) | {0}))
+    planes = host.planes_for_alphabet(alphabet)
+    rev = host.rank_map(alphabet)[rev]
     lens = np.full((B,), L, dtype=np.int64)
 
     bin_width, thr = 150, 7
@@ -100,7 +104,8 @@ def bench_tpu(raw, text, rng):
 
     @functools.partial(jax.jit, static_argnames=())
     def step(rev_d, lens_d):
-        vals, _ = query_batch_kernel_v2(arrays, rev_d, meta, "pml", False)
+        vals, _ = query_batch_kernel_v2(arrays, rev_d, meta, "pml", False,
+                                        planes)
         # on-device bin-max classification over the un-reversed view
         p = jnp.arange(L)
         flip = jnp.clip(lens_d[:, None] - 1 - p[None, :], 0, L - 1)

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-DEFAULT_NODE = 32
+DEFAULT_NODE = 64
 
 
 class LayeredArrays(NamedTuple):
@@ -37,6 +37,10 @@ class LayeredArrays(NamedTuple):
     levels: Tuple[jnp.ndarray, ...]  # D arrays [rows_t, NODE]
     fields: jnp.ndarray              # [rp, 2W]: packed fields of runs k, k+1
     text: Optional[jnp.ndarray]      # [nt] u8 (MS extension)
+    # per-char fused matrix (charmeta ++ root level row), split into exact
+    # 16-bit f32 planes so the per-char lookups run on the MXU as one-hot
+    # matmuls instead of gathers (see make_layered_step_fn)
+    rootmat_planes: Optional[Tuple[jnp.ndarray, ...]]  # each [256, 16+NODE] f32
     n: jnp.ndarray
     last_run_sample: jnp.ndarray
     last_run_edoc: jnp.ndarray
@@ -51,6 +55,7 @@ class LayeredMeta(NamedTuple):
     has_samples: bool
     has_doc: bool
     has_text: bool
+    fused_root: bool = False  # per-char lookups via one-hot MXU matmul
 
 
 # field slot order inside a W-wide half-row
@@ -58,7 +63,7 @@ F_START, F_LEN, F_CUM, F_THR, F_SSAMP, F_ESAMP, F_SDOC, F_EDOC = range(8)
 
 
 def build_layered(idx, want_samples=None, want_doc=None, want_text=None,
-                  node: int = DEFAULT_NODE):
+                  node: int = DEFAULT_NODE, fuse_root: bool = True):
     """DenseIndex -> (LayeredArrays on device, LayeredMeta)."""
     if want_samples is None:
         want_samples = idx.c_ssamp is not None
@@ -132,7 +137,25 @@ def build_layered(idx, want_samples=None, want_doc=None, want_text=None,
             t_ = np.concatenate([t_, np.zeros(tp - len(t_), dtype=np.uint8)])
         text = jnp.asarray(t_)
 
+    # fused per-char matrix: charmeta ++ root-level row (rank is always 0 at
+    # the root, so the root row is a pure function of the char). Split into
+    # 8-bit planes: integers < 256 are exactly representable in bf16, so the
+    # one-hot matmul reproduces the ints exactly even at the MXU's default
+    # bf16 compute precision (16-bit planes silently lose bits on TPU).
+    rootmat_planes = None
+    root_rows = np.zeros((256, node), dtype=np.int64)
+    lvl = levels[D - 1].astype(np.int64)
+    for c in range(256):
+        root_rows[c] = lvl[rowoffs[D - 1, c]]
+    n_planes = max(1, -(-int(max(n, 1)).bit_length() // 8))
+    if fuse_root:
+        mat = np.concatenate([charmeta, root_rows], axis=1)  # [256, 16+node]
+        rootmat_planes = tuple(
+            jnp.asarray(((mat >> (8 * p)) & 0xFF).astype(np.float32))
+            for p in range(n_planes))
+
     arrays = LayeredArrays(
+        rootmat_planes=rootmat_planes,
         charmeta=jnp.asarray(charmeta.astype(dtype)),
         levels=tuple(jnp.asarray(lv) for lv in levels),
         fields=jnp.asarray(fields.astype(dtype)),
@@ -144,8 +167,47 @@ def build_layered(idx, want_samples=None, want_doc=None, want_text=None,
     )
     meta = LayeredMeta(depth=D, node=node, dtype=np.dtype(dtype).name, width=W,
                        has_samples=bool(want_samples), has_doc=bool(want_doc),
-                       has_text=text is not None)
-    return arrays, meta
+                       has_text=text is not None, fused_root=fuse_root)
+    host = LayeredHost(charmeta_np=charmeta, root_np=root_rows,
+                       n_planes=n_planes,
+                       index_chars=tuple(int(c) for c in range(256)
+                                         if runs_per_char[c] > 0))
+    return arrays, meta, host
+
+
+class LayeredHost:
+    """Host-side companion data for the reduced-alphabet fused lookup:
+    reads are rank-mapped on the host so the one-hot MXU matmul shrinks from
+    256-wide to |alphabet|-wide (padded to a multiple of 16)."""
+
+    def __init__(self, charmeta_np, root_np, n_planes, index_chars):
+        self.charmeta_np = charmeta_np      # [256, 16] int64
+        self.root_np = root_np              # [256, NODE] int64
+        self.n_planes = n_planes
+        self.index_chars = index_chars
+        self._plane_cache = {}
+
+    def planes_for_alphabet(self, alphabet: tuple):
+        """Device planes [sigma_pad, 16+NODE] f32 for the given char tuple."""
+        key = alphabet
+        if key in self._plane_cache:
+            return self._plane_cache[key]
+        sigma = len(alphabet)
+        sigma_pad = max(16, -(-sigma // 16) * 16)
+        mat = np.zeros((sigma_pad, 16 + self.root_np.shape[1]), dtype=np.int64)
+        mat[:sigma, :16] = self.charmeta_np[list(alphabet)]
+        mat[:sigma, 16:] = self.root_np[list(alphabet)]
+        planes = tuple(
+            jnp.asarray(((mat >> (8 * p)) & 0xFF).astype(np.float32))
+            for p in range(self.n_planes))
+        self._plane_cache[key] = planes
+        return planes
+
+    def rank_map(self, alphabet: tuple) -> np.ndarray:
+        amap = np.zeros(256, dtype=np.uint8)
+        for i, c in enumerate(alphabet):
+            amap[c] = i
+        return amap
 
 
 def make_layered_step_fn(meta: LayeredMeta, mode: str, use_doc: bool):
@@ -153,18 +215,44 @@ def make_layered_step_fn(meta: LayeredMeta, mode: str, use_doc: bool):
     ms = mode == "ms"
     D, NODE, W = meta.depth, meta.node, meta.width
 
-    def step(ix: LayeredArrays, carry, chars):
+    fused = meta.fused_root
+
+    def step(ix: LayeredArrays, carry, chars, planes=None):
+        """chars are raw bytes, unless `planes` (reduced-alphabet matrices)
+        is given — then chars are alphabet ranks < planes[0].shape[0]."""
         pos, length, sample, doc = carry
         dt = pos.dtype
         c = chars.astype(dt)
-        cm = ix.charmeta[c]                     # [B, 16]
+
+        if planes is not None or fused:
+            # per-char lookups on the MXU: one-hot @ (charmeta ++ root row),
+            # reassembled exactly from 16-bit f32 planes
+            mats = planes if planes is not None else ix.rootmat_planes
+            sigma = mats[0].shape[0]
+            onehot = (c[:, None] == jnp.arange(sigma, dtype=dt)[None, :]
+                      ).astype(jnp.float32)
+            acc = jnp.zeros((pos.shape[0], mats[0].shape[1]), dtype=dt)
+            for p, plane in enumerate(mats):
+                part = jnp.dot(onehot, plane,
+                               preferred_element_type=jnp.float32)
+                acc = acc + (part.astype(dt) << (8 * p))
+            cm = acc[:, :16]
+            root_row = acc[:, 16:]
+        else:
+            cm = ix.charmeta[c]                 # [B, 16]
+            root_row = None
         Fc, cntc, lo0, hi0 = cm[:, 0], cm[:, 1], cm[:, 2], cm[:, 3]
 
         # NODE-ary descent: rank = index within char of last run-start <= pos;
         # m == 0 is only possible at the root (pos before the first c-run).
         rank = jnp.zeros_like(pos)
         dead = jnp.zeros(pos.shape, dtype=bool)
-        for t in range(D - 1, -1, -1):
+        if root_row is not None:
+            m = jnp.sum(root_row <= pos[:, None], axis=1).astype(dt)
+            dead = m == 0
+            rank = jnp.maximum(m - 1, 0)
+        start_t = D - 2 if root_row is not None else D - 1
+        for t in range(start_t, -1, -1):
             rows = ix.levels[t][cm[:, 4 + t] + rank]          # [B, NODE]
             m = jnp.sum(rows <= pos[:, None], axis=1).astype(dt)
             if t == D - 1:

@@ -99,8 +99,11 @@ def make_step_fn(meta: IndexMeta, mode: str, use_doc: bool, r: int):
 
 @functools.partial(jax.jit, static_argnames=("meta", "mode", "use_doc"))
 def query_batch_kernel_v2(ix, reads_rev: jnp.ndarray, meta, mode: str,
-                          use_doc: bool):
-    """Layered-search variant (engine v2, see layered.py)."""
+                          use_doc: bool, planes=None):
+    """Layered-search variant (engine v2, see layered.py).
+
+    With `planes` (reduced-alphabet per-char matrices), reads_rev must be
+    rank-mapped on the host; otherwise it holds raw bytes."""
     from .layered import make_layered_step_fn
 
     B = reads_rev.shape[0]
@@ -114,7 +117,8 @@ def query_batch_kernel_v2(ix, reads_rev: jnp.ndarray, meta, mode: str,
 
     xs = reads_rev.T
     _, (vals, docs) = jax.lax.scan(
-        lambda carry, ch: step(ix, carry, ch), (pos0, len0, samp0, doc0), xs)
+        lambda carry, ch: step(ix, carry, ch, planes),
+        (pos0, len0, samp0, doc0), xs)
     return vals.T, (docs.T if use_doc else None)
 
 
@@ -194,7 +198,7 @@ class ScanEngine:
     """
 
     def __init__(self, arrays, meta, mode: str = "pml",
-                 use_doc: bool = False, pad_to: int = 128):
+                 use_doc: bool = False, pad_to: int = 128, host=None):
         assert mode in ("pml", "ms")
         if mode == "ms" and not meta.has_samples:
             raise ValueError("MS mode requires an index built with SA samples")
@@ -206,6 +210,7 @@ class ScanEngine:
         self.use_doc = use_doc
         self.pad_to = pad_to
         self.layered = hasattr(arrays, "fields")
+        self.host = host if self.layered else None
         self.r = int(arrays.fields.shape[0] if self.layered
                      else arrays.c_start.shape[0])
         self.nt = int(arrays.text.shape[0]) if arrays.text is not None else 0
@@ -228,7 +233,17 @@ class ScanEngine:
             fwd[i, :len(a)] = a
             rev[i, :len(a)] = a[::-1]
             lens[i] = len(a)
-        if self.layered:
+        if self.layered and self.host is not None:
+            # reduced-alphabet fused lookup: rank-map the reads on the host
+            alphabet = tuple(sorted(
+                set(self.host.index_chars)
+                | set(int(x) for x in np.unique(rev)) | {0}))
+            amap = self.host.rank_map(alphabet)
+            planes = self.host.planes_for_alphabet(alphabet)
+            vals, docs = query_batch_kernel_v2(
+                self.arrays, jnp.asarray(amap[rev]), self.meta, self.mode,
+                self.use_doc, planes)
+        elif self.layered:
             vals, docs = query_batch_kernel_v2(
                 self.arrays, jnp.asarray(rev), self.meta, self.mode,
                 self.use_doc)

@@ -327,8 +327,8 @@ def _make_engine(cfg: RunConfig, dense: DenseIndex):
 
     from .engine.layered import build_layered
     from .engine.scan_engine import ScanEngine
-    arrays, meta = build_layered(dense)
-    return ScanEngine(arrays, meta, mode=cfg.mode, use_doc=cfg.use_doc)
+    arrays, meta, host = build_layered(dense)
+    return ScanEngine(arrays, meta, mode=cfg.mode, use_doc=cfg.use_doc, host=host)
 
 
 def _unorder(dense: DenseIndex, field: str):

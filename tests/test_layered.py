@@ -30,16 +30,16 @@ def _setup(rng, n, with_doc=False):
 def test_layered_pml_ms_matches_native(rng, make_reads):
     for trial in range(3):
         text, dense, native = _setup(rng, int(rng.integers(2000, 9000)))
-        arrays, meta = build_layered(dense)
+        arrays, meta, host = build_layered(dense)
         assert meta.depth >= 2  # exercise multi-level descent
         reads = make_reads(rng, text, num=16, max_len=300)
         reads.append(b"N" * 64)  # cnt==0 path
 
-        pml = ScanEngine(arrays, meta, mode="pml").query(reads)
+        pml = ScanEngine(arrays, meta, mode="pml", host=host).query(reads)
         for a, b in zip(pml["lengths"], native.query_pml(reads)):
             assert np.array_equal(a, b)
 
-        ms = ScanEngine(arrays, meta, mode="ms").query(reads)
+        ms = ScanEngine(arrays, meta, mode="ms", host=host).query(reads)
         ptrs, lens = native.query_ms(reads)
         for a, b in zip(ms["pointers"], ptrs):
             assert np.array_equal(a, b)
@@ -49,10 +49,10 @@ def test_layered_pml_ms_matches_native(rng, make_reads):
 
 def test_layered_doc_matches_native(rng, make_reads):
     text, dense, native = _setup(rng, 5000, with_doc=True)
-    arrays, meta = build_layered(dense)
+    arrays, meta, host = build_layered(dense)
     reads = make_reads(rng, text, num=10, max_len=200)
 
-    eng = ScanEngine(arrays, meta, mode="pml", use_doc=True)
+    eng = ScanEngine(arrays, meta, mode="pml", use_doc=True, host=host)
     out = eng.query(reads)
     ref_l, ref_d = native.query_pml(reads, with_docs=True)
     for i in range(len(reads)):

@@ -70,7 +70,7 @@ def test_sharded_classifier_layered(rng, make_reads):
     tarr = np.frombuffer(text, np.uint8)
     raw = build_raw_index(tarr)
     dense = build_dense_index(raw)
-    arrays, meta = build_layered(dense)
+    arrays, meta, host = build_layered(dense)
     native = NativeQueryEngine(raw.n, raw.run_heads, raw.run_starts,
                                raw.thresholds, raw.samples_start,
                                raw.samples_last)
