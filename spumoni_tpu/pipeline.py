@@ -265,6 +265,9 @@ class RunConfig:
     threads: int = 1
     device: str = "tpu"       # 'tpu' | 'cpu'
     batch_bases: int = 4_000_000
+    resume: bool = False      # resume from the per-host read cursor
+    process_index: int = 0    # multi-host read sharding (parallel.distributed)
+    process_count: int = 1
 
     @property
     def mode(self) -> str:
@@ -372,24 +375,47 @@ def run(cfg: RunConfig) -> int:
                                      cfg.use_promotions, cfg.use_dna_letters,
                                      cfg.mode)
 
+    from .parallel import distributed as dist
+
     out_prefix = cfg.pattern_file
-    files = {}
+    P, p = cfg.process_count, cfg.process_index
+    paths = {}
     if cfg.mode == "pml":
-        files["lengths"] = open(out_prefix + ".pseudo_lengths", "w")
+        paths["lengths"] = out_prefix + ".pseudo_lengths"
     else:
-        files["lengths"] = open(out_prefix + ".lengths", "w")
-        files["pointers"] = open(out_prefix + ".pointers", "w")
+        paths["lengths"] = out_prefix + ".lengths"
+        paths["pointers"] = out_prefix + ".pointers"
     if cfg.use_doc:
-        files["docs"] = open(out_prefix + ".doc_numbers", "w")
+        paths["docs"] = out_prefix + ".doc_numbers"
     if cfg.write_report:
-        files["report"] = open(out_prefix + ".report", "w")
+        paths["report"] = out_prefix + ".report"
+
+    # restartable streaming: the cursor records how many of THIS host's
+    # records are already durably written (SURVEY.md §5 checkpoint/resume)
+    cursor_path = dist.shard_path(out_prefix + ".cursor", p, P)
+    skip = 0
+    if cfg.resume and os.path.exists(cursor_path):
+        with open(cursor_path) as f:
+            skip = int(f.read().strip() or 0)
+        log("run", f"resuming after {skip} completed reads (host {p})")
+
+    mode_ = "a" if skip else "w"
+    files = {k_: open(dist.shard_path(v, p, P), mode_)
+             for k_, v in paths.items()}
+    if cfg.write_report and P == 1 and not skip:
         files["report"].write(report_header(thr))
 
-    num_reads = 0
+    def my_records():
+        stream = dist.host_shard_reads(iter_query_reads(cfg.pattern_file), p, P)
+        for own_idx, (_, item) in enumerate(stream):
+            if own_idx >= skip:
+                yield item
+
+    num_reads = skip
+    found_count = 0
     t0 = time.time()
     total_bases = 0
-    for batch in batch_iter(iter_query_reads(cfg.pattern_file),
-                            cfg.batch_bases):
+    for batch in batch_iter(my_records(), cfg.batch_bases):
         ids, reads = [], []
         for rid, seq in batch:
             rd = seq.upper()
@@ -412,13 +438,29 @@ def run(cfg: RunConfig) -> int:
             write_values_record(files["lengths"], rid, out["lengths"][i])
             if cfg.write_report:
                 res = binmax.classify(out["lengths"][i], cfg.bin_size, thr)
+                found_count += res.status == "FOUND"
                 files["report"].write(report_line(
                     rid, res.status, res.avg_max, res.bins_above,
                     res.bins_below))
             num_reads += 1
+        for f in files.values():
+            f.flush()
+        with open(cursor_path, "w") as f:
+            f.write(str(num_reads))
     dt = time.time() - t0
     for f in files.values():
         f.close()
+    os.path.exists(cursor_path) and os.remove(cursor_path)
+
+    if P > 1:
+        # merge shard outputs into the reference's single-file layout
+        gf, gt = dist.global_found_counts(found_count, num_reads)
+        if p == 0:
+            for k_, v in paths.items():
+                dist.merge_shards(v, P, header=report_header(thr)
+                                  if k_ == "report" else None)
+            log("run", f"merged {P} host shards; {gf}/{gt} reads FOUND")
+        num_reads = gt
     log("run", f"processed {num_reads} reads ({total_bases} bases) in "
                f"{dt:.2f}s -> {num_reads / max(dt, 1e-9):.1f} reads/s")
     return num_reads

@@ -1,0 +1,103 @@
+"""Tracing / profiling / observability utilities.
+
+The TPU-era counterpart of the reference's STATUS_LOG/DONE_LOG/TIME_LOG timer
+macros (spumoni_main.hpp:46-54), malloc_count heap hooks, and the
+*.{ms,pml}_index_stats.txt size accounting (compute_ms_pml.cpp:204-209):
+
+  * phase timers with the same "[tag] msg ... done. (x.xxx sec)" shape
+  * an optional JAX profiler trace around any phase (xplane dumps)
+  * HBM footprint reporting for device-resident index arrays
+"""
+
+from __future__ import annotations
+
+import contextlib
+import sys
+import time
+
+
+VERBOSE = True
+
+
+def log(tag: str, msg: str) -> None:
+    if VERBOSE:
+        print(f"[{tag}] {msg}", file=sys.stderr, flush=True)
+
+
+@contextlib.contextmanager
+def phase(tag: str, msg: str):
+    """STATUS_LOG/DONE_LOG pair (spumoni_main.hpp:46-49)."""
+    if VERBOSE:
+        print(f"[{tag}] {msg} ... ", file=sys.stderr, end="", flush=True)
+    t0 = time.time()
+    try:
+        yield
+    finally:
+        if VERBOSE:
+            print(f"done.  ({time.time() - t0:.3f} sec)", file=sys.stderr,
+                  flush=True)
+
+
+class PhaseTimer:
+    """Accumulates named phase durations; summary() mirrors the reference's
+    per-phase build timing output."""
+
+    def __init__(self):
+        self.durations: dict[str, float] = {}
+
+    @contextlib.contextmanager
+    def track(self, name: str):
+        t0 = time.time()
+        try:
+            yield
+        finally:
+            self.durations[name] = self.durations.get(name, 0.0) + (
+                time.time() - t0)
+
+    def summary(self) -> str:
+        total = sum(self.durations.values())
+        lines = [f"  {name:<30s} {dur:8.3f}s ({100 * dur / max(total, 1e-9):.1f}%)"
+                 for name, dur in self.durations.items()]
+        lines.append(f"  {'total':<30s} {total:8.3f}s")
+        return "\n".join(lines)
+
+
+@contextlib.contextmanager
+def jax_trace(trace_dir: str | None):
+    """Wraps a phase in a JAX profiler trace (xplane) when trace_dir is set."""
+    if not trace_dir:
+        yield
+        return
+    import jax
+    jax.profiler.start_trace(trace_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def device_array_footprint(arrays) -> dict[str, int]:
+    """Bytes of every device array in a pytree — the HBM analog of the
+    index stats files."""
+    import jax
+
+    out = {}
+    flat, _ = jax.tree_util.tree_flatten_with_path(arrays)
+    for path, leaf in flat:
+        if hasattr(leaf, "nbytes"):
+            out[jax.tree_util.keystr(path)] = int(leaf.nbytes)
+    out["__total__"] = sum(v for k, v in out.items() if k != "__total__")
+    return out
+
+
+def hbm_usage() -> dict:
+    """Live/peak device memory from the backend, when available."""
+    import jax
+
+    try:
+        stats = jax.devices()[0].memory_stats()
+        return {k: stats[k] for k in
+                ("bytes_in_use", "peak_bytes_in_use", "bytes_limit")
+                if k in stats}
+    except Exception:
+        return {}

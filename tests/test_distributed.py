@@ -1,0 +1,85 @@
+"""Host-sharded streaming, shard merge, and resume-cursor logic (file-level
+simulation of a 2-host run; collective merging itself is covered by the mesh
+tests and exercised for real under jax.distributed)."""
+
+import os
+
+import numpy as np
+
+from spumoni_tpu.pipeline import BuildConfig, RunConfig, build, run
+from spumoni_tpu.parallel import distributed as dist
+
+from test_pipeline import (_parse_report, _parse_values_file, _write_genome,
+                           _write_reads)
+
+
+def _build_index(tmp_path, rng):
+    genome_path = str(tmp_path / "genome.fa")
+    seqs = _write_genome(genome_path, rng, contigs=(("chr1", 15000),))
+    genome = "".join(seqs.values())
+    reads_path = str(tmp_path / "reads.fa")
+    _write_reads(reads_path, rng, genome, n_pos=5, n_neg=5, m=300)
+    cfg = BuildConfig(ref_file=genome_path, output_prefix=str(tmp_path / "idx"),
+                      pml_index=True, use_minimizers=False)
+    build(cfg)
+    return reads_path
+
+
+def test_host_shard_reads():
+    items = list(dist.host_shard_reads(iter("abcdefg"), 1, 3))
+    assert items == [(1, "b"), (4, "e")]
+
+
+def test_two_host_simulation_matches_single(tmp_path, rng):
+    reads_path = _build_index(tmp_path, rng)
+
+    def _run(**kw):
+        return run(RunConfig(ref_file=str(tmp_path / "idx"),
+                             pattern_file=reads_path, pml_requested=True,
+                             min_digest=False, write_report=True,
+                             device="cpu", **kw))
+
+    # single-host reference outputs
+    _run()
+    single_vals = _parse_values_file(reads_path + ".pseudo_lengths")
+    single_report = open(reads_path + ".report").read()
+
+    # simulate two hosts: host 1 then host 0 (which merges)
+    _run(process_index=1, process_count=2)
+    _run(process_index=0, process_count=2)
+    merged_vals = _parse_values_file(reads_path + ".pseudo_lengths")
+    merged_report = open(reads_path + ".report").read()
+
+    assert set(single_vals) == set(merged_vals)
+    for rid in single_vals:
+        assert np.array_equal(single_vals[rid], merged_vals[rid]), rid
+    assert _parse_report_lines(single_report) == _parse_report_lines(merged_report)
+
+
+def _parse_report_lines(text):
+    return sorted(line for line in text.splitlines()[1:] if line.strip())
+
+
+def test_resume_cursor(tmp_path, rng):
+    reads_path = _build_index(tmp_path, rng)
+    rcfg = dict(ref_file=str(tmp_path / "idx"), pattern_file=reads_path,
+                pml_requested=True, min_digest=False, device="cpu")
+
+    run(RunConfig(**rcfg))
+    full = _parse_values_file(reads_path + ".pseudo_lengths")
+
+    # pretend 4 reads were already durably processed: re-create their output
+    # and a cursor, then resume
+    with open(reads_path + ".pseudo_lengths") as f:
+        lines = f.readlines()
+    with open(reads_path + ".pseudo_lengths", "w") as f:
+        f.writelines(lines[:8])  # 4 records x (header + values)
+    with open(reads_path + ".cursor", "w") as f:
+        f.write("4")
+    n = run(RunConfig(resume=True, **rcfg))
+    assert n == 10
+    resumed = _parse_values_file(reads_path + ".pseudo_lengths")
+    assert set(resumed) == set(full)
+    for rid in full:
+        assert np.array_equal(full[rid], resumed[rid]), rid
+    assert not os.path.exists(reads_path + ".cursor")
