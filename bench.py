@@ -83,10 +83,9 @@ def make_reads(rng, text, n_reads, read_len):
 def bench_tpu(raw, text, rng):
     import jax
     import jax.numpy as jnp
-    import functools
     from spumoni_tpu.index.format import build_dense_index
     from spumoni_tpu.engine.layered import build_layered
-    from spumoni_tpu.engine.scan_engine import query_batch_kernel_v2
+    from spumoni_tpu.parallel.mesh import fused_classify_kernel
 
     dense = build_dense_index(raw)
     arrays, meta, host = build_layered(dense)
@@ -100,31 +99,16 @@ def bench_tpu(raw, text, rng):
     lens = np.full((B,), L, dtype=np.int64)
 
     bin_width, thr = 150, 7
-    max_bins = max(1, -(-L // bin_width))
+    rp = int(arrays.fields.shape[0])
 
-    @functools.partial(jax.jit, static_argnames=())
     def step(rev_d, lens_d):
-        vals, _ = query_batch_kernel_v2(arrays, rev_d, meta, "pml", False,
-                                        planes)
-        # on-device bin-max classification over the un-reversed view
-        p = jnp.arange(L)
-        flip = jnp.clip(lens_d[:, None] - 1 - p[None, :], 0, L - 1)
-        fwd = jnp.take_along_axis(vals, flip.astype(jnp.int32), axis=1)
-        nbins = jnp.maximum(lens_d // bin_width, 1)
-        binid = jnp.minimum(p[None, :] // bin_width, nbins[:, None] - 1)
-        valid = p[None, :] < lens_d[:, None]
-        neg = jnp.full_like(fwd, -1)
-        above = jnp.zeros((B,), jnp.int32)
-        for j in range(max_bins):
-            mx = jnp.max(jnp.where(valid & (binid == j), fwd, neg), axis=1)
-            above += ((mx >= thr) & (mx >= 0)).astype(jnp.int32)
-        below = nbins.astype(jnp.int32) - above
-        return (above > below), above, below
+        return fused_classify_kernel(arrays, rev_d, lens_d, thr, meta, "pml",
+                                     rp, bin_width, planes)
 
     rev_d = jax.device_put(jnp.asarray(rev))
     lens_d = jax.device_put(jnp.asarray(lens))
     jax.block_until_ready((rev_d, lens_d))
-    found, above, below = step(rev_d, lens_d)   # compile + warm
+    found, above, below, _ = step(rev_d, lens_d)   # compile + warm
     found = np.asarray(found)
     n_found = int(found.sum())
     assert 0 < n_found < B, "classification degenerate"
@@ -135,7 +119,7 @@ def bench_tpu(raw, text, rng):
     reps = 3
     t0 = time.time()
     for _ in range(reps):
-        found, above, below = step(rev_d, lens_d)
+        found, above, below, _ = step(rev_d, lens_d)
     np.asarray(found)
     dt = (time.time() - t0) / reps
     return B / dt, B * L / dt

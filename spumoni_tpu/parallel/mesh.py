@@ -47,6 +47,64 @@ def _step_fn_for(arrays, meta, mode, use_doc, r):
 
 
 @functools.partial(
+    jax.jit, static_argnames=("meta", "mode", "r", "bin_width"))
+def fused_classify_kernel(ix, reads_rev, lens, max_value_thr, meta,
+                          mode: str, r: int, bin_width: int, planes=None):
+    """Scan + classification fully fused: the windowed bin-max statistics of
+    compute_ms_pml.cpp:975-995 are folded into the scan carry (bins appear in
+    decreasing order as the read is processed right-to-left; a bin closes
+    when the per-lane window id changes), so no [B, L] value matrix is
+    materialized or post-processed. Returns per-read
+    (found, above, below, sum_maxes) only — the O(B) summary that leaves the
+    chip in classify-only mode.
+    """
+    B, L = reads_rev.shape
+    dt = (ix.fields if hasattr(ix, "fields") else ix.c_start).dtype
+    step = _step_fn_for(ix, meta, mode, False, r)
+
+    lens = lens.astype(dt)
+    nbins = jnp.maximum(lens // bin_width, 1)
+
+    pos0 = jnp.full((B,), ix.n - 1, dtype=dt)
+    len0 = jnp.zeros((B,), dtype=dt)
+    samp0 = jnp.full((B,), ix.last_run_sample, dtype=dt)
+    doc0 = jnp.full((B,), ix.last_run_edoc, dtype=dt)
+    neg1 = jnp.full((B,), -1, dtype=dt)
+    zero = jnp.zeros((B,), dtype=dt)
+
+    def fused_step(carry, x):
+        ch, i = x
+        (core, prev_b, cur_max, above, below, summ) = carry
+        if hasattr(ix, "fields"):
+            core, (val, _) = step(ix, core, ch, planes)
+        else:
+            core, (val, _) = step(ix, core, ch)
+        fwd = lens - 1 - i
+        active = fwd >= 0
+        b = jnp.minimum(fwd // bin_width, nbins - 1)
+        closing = active & (prev_b >= 0) & (b != prev_b)
+        above = above + jnp.where(closing & (cur_max >= max_value_thr), 1, 0)
+        below = below + jnp.where(closing & (cur_max < max_value_thr), 1, 0)
+        summ = summ + jnp.where(closing, cur_max, 0)
+        cur_max = jnp.where(closing, neg1, cur_max)
+        cur_max = jnp.where(active, jnp.maximum(cur_max, val), cur_max)
+        prev_b = jnp.where(active, b, prev_b)
+        return (core, prev_b, cur_max, above, below, summ), ()
+
+    xs = (reads_rev.T, jnp.arange(L, dtype=dt))
+    (core, prev_b, cur_max, above, below, summ), _ = jax.lax.scan(
+        fused_step, ((pos0, len0, samp0, doc0), neg1, neg1, zero, zero, zero),
+        xs)
+    # close the final open bin
+    has = lens > 0
+    above = above + jnp.where(has & (cur_max >= max_value_thr), 1, 0)
+    below = below + jnp.where(has & (cur_max < max_value_thr), 1, 0)
+    summ = summ + jnp.where(has, cur_max, 0)
+    found = (above > below) & has
+    return found, above.astype(jnp.int32), below.astype(jnp.int32), summ
+
+
+@functools.partial(
     jax.jit,
     static_argnames=("meta", "mode", "use_doc", "r", "bin_width", "max_bins"))
 def sharded_classify_kernel(ix: IndexArrays, reads_rev, lens, max_value_thr,

@@ -85,3 +85,44 @@ def test_sharded_classifier_layered(rng, make_reads):
         assert np.array_equal(out["lengths"][i], ref[i]), i
         host = binmax.classify(ref[i], 150, 5)
         assert (host.status == "FOUND") == bool(out["found"][i]), i
+
+
+def test_fused_classify_kernel(rng, make_reads):
+    import jax.numpy as jnp
+    from spumoni_tpu.engine.layered import build_layered
+    from spumoni_tpu.parallel.mesh import fused_classify_kernel
+
+    text = rand_dna(rng, 6000)
+    tarr = np.frombuffer(text, np.uint8)
+    raw = build_raw_index(tarr)
+    dense = build_dense_index(raw)
+    arrays, meta, host = build_layered(dense)
+    native = NativeQueryEngine(raw.n, raw.run_heads, raw.run_starts,
+                               raw.thresholds, raw.samples_start,
+                               raw.samples_last)
+    reads = [mutated_substring(rng, text, int(rng.integers(50, 700)), err=0.05)
+             for _ in range(10)]
+    reads += [rand_dna(rng, int(rng.integers(50, 700))) for _ in range(10)]
+
+    B, L = 32, 1024
+    rev = np.zeros((B, L), np.uint8)
+    lens = np.zeros(B, np.int64)
+    for i, rd in enumerate(reads):
+        a = np.frombuffer(rd, np.uint8)
+        rev[i, :len(a)] = a[::-1]
+        lens[i] = len(a)
+    alphabet = tuple(sorted(set(host.index_chars) | {0}))
+    planes = host.planes_for_alphabet(alphabet)
+    rev = host.rank_map(alphabet)[rev]
+
+    bw, thr = 150, 5
+    found, above, below, summ = fused_classify_kernel(
+        arrays, jnp.asarray(rev), jnp.asarray(lens), thr, meta, "pml",
+        int(arrays.fields.shape[0]), bw, planes)
+    ref = native.query_pml(reads)
+    for i, rd in enumerate(reads):
+        h = binmax.classify(ref[i], bw, thr)
+        assert (h.status == "FOUND") == bool(found[i]), i
+        assert h.bins_above == int(above[i]), (i, h.bins_above, int(above[i]))
+        assert h.bins_below == int(below[i]), i
+        assert h.bin_maxes.sum() == int(summ[i]), i
