@@ -97,29 +97,39 @@ def make_step_fn(meta: IndexMeta, mode: str, use_doc: bool, r: int):
     return step
 
 
+def initial_state(ix, B: int):
+    """Recurrence seed: empty pattern at the last BWT row
+    (compute_ms_pml.cpp:243-244,574-575)."""
+    dt = (ix.fields if hasattr(ix, "fields") else ix.c_start).dtype
+    return (jnp.full((B,), ix.n - 1, dtype=dt),
+            jnp.zeros((B,), dtype=dt),
+            jnp.full((B,), ix.last_run_sample, dtype=dt),
+            jnp.full((B,), ix.last_run_edoc, dtype=dt))
+
+
 @functools.partial(jax.jit, static_argnames=("meta", "mode", "use_doc"))
 def query_batch_kernel_v2(ix, reads_rev: jnp.ndarray, meta, mode: str,
-                          use_doc: bool, planes=None):
+                          use_doc: bool, planes=None, state=None):
     """Layered-search variant (engine v2, see layered.py).
 
     With `planes` (reduced-alphabet per-char matrices), reads_rev must be
-    rank-mapped on the host; otherwise it holds raw bytes."""
+    rank-mapped on the host; otherwise it holds raw bytes.
+
+    `state` carries the (pos, length, sample, doc) recurrence state across
+    chunk boundaries for long reads (SURVEY.md §5 long-context: the per-step
+    state is O(1) words per lane, so a read of any length is processed as
+    sequential chunked kernel invocations). Returns (vals, docs, state)."""
     from .layered import make_layered_step_fn
 
     B = reads_rev.shape[0]
-    dt = ix.fields.dtype
     step = make_layered_step_fn(meta, mode, use_doc)
-
-    pos0 = jnp.full((B,), ix.n - 1, dtype=dt)
-    len0 = jnp.zeros((B,), dtype=dt)
-    samp0 = jnp.full((B,), ix.last_run_sample, dtype=dt)
-    doc0 = jnp.full((B,), ix.last_run_edoc, dtype=dt)
+    if state is None:
+        state = initial_state(ix, B)
 
     xs = reads_rev.T
-    _, (vals, docs) = jax.lax.scan(
-        lambda carry, ch: step(ix, carry, ch, planes),
-        (pos0, len0, samp0, doc0), xs)
-    return vals.T, (docs.T if use_doc else None)
+    state, (vals, docs) = jax.lax.scan(
+        lambda carry, ch: step(ix, carry, ch, planes), state, xs)
+    return vals.T, (docs.T if use_doc else None), state
 
 
 @functools.partial(jax.jit, static_argnames=("meta", "mode", "use_doc", "r"))
@@ -198,8 +208,10 @@ class ScanEngine:
     """
 
     def __init__(self, arrays, meta, mode: str = "pml",
-                 use_doc: bool = False, pad_to: int = 128, host=None):
+                 use_doc: bool = False, pad_to: int = 128, host=None,
+                 chunk: int = 4096):
         assert mode in ("pml", "ms")
+        self.chunk = chunk
         if mode == "ms" and not meta.has_samples:
             raise ValueError("MS mode requires an index built with SA samples")
         if use_doc and not meta.has_doc:
@@ -217,8 +229,10 @@ class ScanEngine:
 
     def _bucket_L(self, m: int) -> int:
         L = self.pad_to
-        while L < m:
+        while L < m and L < self.chunk:
             L *= 2
+        if m > L:  # long reads: multiples of the chunk size (carried state)
+            L = -(-m // self.chunk) * self.chunk
         return L
 
     def _query_group(self, reads, L: int):
@@ -233,20 +247,33 @@ class ScanEngine:
             fwd[i, :len(a)] = a
             rev[i, :len(a)] = a[::-1]
             lens[i] = len(a)
-        if self.layered and self.host is not None:
-            # reduced-alphabet fused lookup: rank-map the reads on the host
-            alphabet = tuple(sorted(
-                set(self.host.index_chars)
-                | set(int(x) for x in np.unique(rev)) | {0}))
-            amap = self.host.rank_map(alphabet)
-            planes = self.host.planes_for_alphabet(alphabet)
-            vals, docs = query_batch_kernel_v2(
-                self.arrays, jnp.asarray(amap[rev]), self.meta, self.mode,
-                self.use_doc, planes)
-        elif self.layered:
-            vals, docs = query_batch_kernel_v2(
-                self.arrays, jnp.asarray(rev), self.meta, self.mode,
-                self.use_doc)
+        if self.layered:
+            planes = None
+            if self.host is not None:
+                # reduced-alphabet fused lookup: rank-map reads on the host
+                alphabet = tuple(sorted(
+                    set(self.host.index_chars)
+                    | set(int(x) for x in np.unique(rev)) | {0}))
+                rev = self.host.rank_map(alphabet)[rev]
+                planes = self.host.planes_for_alphabet(alphabet)
+            if L > self.chunk:
+                # long reads: carry the O(1)-per-lane recurrence state across
+                # fixed-size chunks so every chunk reuses one compiled kernel
+                state = initial_state(self.arrays, rev.shape[0])
+                v_parts, d_parts = [], []
+                for c0 in range(0, L, self.chunk):
+                    v, d, state = query_batch_kernel_v2(
+                        self.arrays, jnp.asarray(rev[:, c0:c0 + self.chunk]),
+                        self.meta, self.mode, self.use_doc, planes, state)
+                    v_parts.append(np.asarray(v))
+                    if self.use_doc:
+                        d_parts.append(np.asarray(d))
+                vals = np.concatenate(v_parts, axis=1)
+                docs = np.concatenate(d_parts, axis=1) if self.use_doc else None
+            else:
+                vals, docs = query_batch_kernel_v2(
+                    self.arrays, jnp.asarray(rev), self.meta, self.mode,
+                    self.use_doc, planes)[:2]
         else:
             vals, docs = query_batch_kernel(
                 self.arrays, jnp.asarray(rev), self.meta, self.mode,

@@ -65,3 +65,31 @@ def test_layered_doc_matches_native(rng, make_reads):
     for i in range(len(reads)):
         assert np.array_equal(out["pointers"][i], ptrs[i])
         assert np.array_equal(out["docs"][i], docs[i])
+
+
+def test_chunked_long_reads(rng):
+    """Reads longer than the chunk size carry state across kernel calls."""
+    text, dense, native = _setup(rng, 20000)
+    arrays, meta, host = build_layered(dense)
+    tb = text
+    reads = []
+    for m in (900, 1500, 2300):
+        st = int(rng.integers(0, len(tb) - m))
+        rd = bytearray(tb[st:st + m])
+        for k in range(0, len(rd), 37):
+            rd[k] = ord("ACGT"[int(rng.integers(4))])
+        reads.append(bytes(rd))
+    reads.append(rand_dna(rng, 1700))
+
+    eng = ScanEngine(arrays, meta, mode="pml", host=host, chunk=256)
+    out = eng.query(reads)
+    for a, b in zip(out["lengths"], native.query_pml(reads)):
+        assert np.array_equal(a, b)
+
+    eng = ScanEngine(arrays, meta, mode="ms", host=host, chunk=256)
+    out = eng.query(reads)
+    ptrs, lens = native.query_ms(reads)
+    for a, b in zip(out["pointers"], ptrs):
+        assert np.array_equal(a, b)
+    for a, b in zip(out["lengths"], lens):
+        assert np.array_equal(a, b)
