@@ -47,3 +47,18 @@ def report_line(read_id: str, status: str, avg_max: float, above: int,
     """compute_ms_pml.cpp:1012-1019."""
     return (f"{read_id:<30}{status:<15}{_cpp_general_float(avg_max):<26}"
             f"{above:<12}{below:<12}\n")
+
+
+def ks_report_header(ks_threshold: float) -> str:
+    """KS-test report header (ks_test.cpp:40-47)."""
+    thr = _cpp_general_float(ks_threshold, 4)
+    return (f"{'read id:':<20}{'status:':<15}{'avg ks-stat (thr=':<17}"
+            f"{thr:<6}{'):':<5}{'above thr:':<12}{'below thr:':<12}\n")
+
+
+def ks_report_line(read_id: str, status: str, avg_ks: float, above: int,
+                   below: int) -> str:
+    """The KS classification line of the (build-time live) KS path
+    (compute_ms_pml.cpp:948-966,1012-1019)."""
+    return (f"{read_id:<30}{status:<15}{_cpp_general_float(avg_ks):<26}"
+            f"{above:<12}{below:<12}\n")

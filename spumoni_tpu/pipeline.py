@@ -268,6 +268,9 @@ class RunConfig:
     resume: bool = False      # resume from the per-host read cursor
     process_index: int = 0    # multi-host read sharding (parallel.distributed)
     process_count: int = 1
+    ks_report: bool = False   # classify via windowed KS test instead of
+                              # bin-max (the reference's build-time-live path,
+                              # ks_test.cpp + compute_ms_pml.cpp:942-967)
 
     @property
     def mode(self) -> str:
@@ -399,11 +402,19 @@ def run(cfg: RunConfig) -> int:
             skip = int(f.read().strip() or 0)
         log("run", f"resuming after {skip} completed reads (host {p})")
 
+    from .classify.report import ks_report_header, ks_report_line
+    ks_test = None
+    if cfg.write_report and cfg.ks_report:
+        # classification start mirrors srand(0) (compute_ms_pml.cpp:892)
+        ks_test = KSTest(null_db, cfg.bin_size, rand=GlibcRand(0))
+        ks_thr = null_db.ks_stat_threshold
+
     mode_ = "a" if skip else "w"
     files = {k_: open(dist.shard_path(v, p, P), mode_)
              for k_, v in paths.items()}
     if cfg.write_report and P == 1 and not skip:
-        files["report"].write(report_header(thr))
+        files["report"].write(ks_report_header(ks_thr) if cfg.ks_report
+                              else report_header(thr))
 
     def my_records():
         stream = dist.host_shard_reads(iter_query_reads(cfg.pattern_file), p, P)
@@ -436,7 +447,16 @@ def run(cfg: RunConfig) -> int:
             if cfg.mode == "ms":
                 write_values_record(files["pointers"], rid, out["pointers"][i])
             write_values_record(files["lengths"], rid, out["lengths"][i])
-            if cfg.write_report:
+            if cfg.write_report and cfg.ks_report:
+                ks_list = ks_test.run_kstest(out["lengths"][i])
+                above = sum(1 for x in ks_list if x >= ks_thr)
+                found = above / len(ks_list) > 0.50
+                found_count += found
+                files["report"].write(ks_report_line(
+                    rid, "FOUND" if found else "NOT_PRESENT",
+                    sum(ks_list) / len(ks_list), above,
+                    len(ks_list) - above))
+            elif cfg.write_report:
                 res = binmax.classify(out["lengths"][i], cfg.bin_size, thr)
                 found_count += res.status == "FOUND"
                 files["report"].write(report_line(

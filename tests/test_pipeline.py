@@ -222,3 +222,23 @@ def test_minimizer_modes(tmp_path, rng):
                         if r.startswith("neg"))
         assert pos_found >= 3, (flag, report)
         assert neg_found == 0, (flag, report)
+
+
+def test_ks_report_mode(workdir):
+    tmp, genome_path, reads_path = workdir
+    cfg = BuildConfig(ref_file=genome_path, output_prefix=str(tmp / "idx"),
+                      pml_index=True, use_minimizers=False)
+    build(cfg)
+    rcfg = RunConfig(ref_file=str(tmp / "idx"), pattern_file=reads_path,
+                     pml_requested=True, min_digest=False, write_report=True,
+                     ks_report=True, device="cpu")
+    run(rcfg)
+    with open(reads_path + ".report") as f:
+        header = f.readline()
+        assert header.startswith("read id:")
+        assert "avg ks-stat" in header
+        rows = {ln.split()[0]: ln.split()[1] for ln in f if ln.strip()}
+    # KS classification should separate positives from negatives too
+    assert all(rows[r] == "FOUND" for r in rows if r.startswith("pos")), rows
+    assert all(rows[r] == "NOT_PRESENT" for r in rows
+               if r.startswith("neg")), rows
