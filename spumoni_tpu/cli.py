@@ -76,6 +76,10 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="query engine backend (default: tpu)")
     r.add_argument("--batch-bases", dest="batch_bases", type=int,
                    default=4_000_000, help="bases per device batch")
+    r.add_argument("--ks-report", dest="ks_report", action="store_true",
+                   help="classify via windowed KS test instead of bin-max")
+    r.add_argument("--resume", dest="resume", action="store_true",
+                   help="resume from the durable read cursor")
     return p
 
 
@@ -91,7 +95,11 @@ def main(argv=None) -> int:
     if args.command == "run":
         if args.is_general_text:
             kwargs["min_digest"] = False
-        cfg = RunConfig(**kwargs)
+        # multi-host: SPUMONI_COORDINATOR / SPUMONI_NUM_PROCESSES /
+        # SPUMONI_PROCESS_ID env vars activate jax.distributed
+        from .parallel.distributed import initialize
+        pidx, pcount = initialize()
+        cfg = RunConfig(process_index=pidx, process_count=pcount, **kwargs)
         run(cfg)
         return 0
     return 1
