@@ -135,6 +135,20 @@ def build(cfg: BuildConfig) -> str:
 
     # ---- index construction (replaces PFP/pfp_thresholds subprocesses) ----
     text = res.text
+    # SA-IS is in-memory: ~26 bytes/char peak (SA + LCP + rank + text).
+    # A PFP construction path (Big-BWT equivalent) is the planned fix for
+    # builds beyond this bound.
+    try:
+        avail = os.sysconf("SC_AVPHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+        need = 26 * len(text)
+        if need > avail:
+            raise MemoryError(
+                f"index construction needs ~{need / 1e9:.1f} GB "
+                f"({len(text) / 1e6:.0f} Mbp reference) but only "
+                f"{avail / 1e9:.1f} GB RAM is available; split the reference "
+                f"or wait for the PFP construction path")
+    except (ValueError, OSError):
+        pass
     content_hash = hashlib.sha256(text.tobytes()).hexdigest()[:16]
     raw = _build_raw_cached(ref_path, text, content_hash)
     n, r = raw.n, raw.r
@@ -368,6 +382,11 @@ def run(cfg: RunConfig) -> int:
     index_path = base + (".thrbv.ms" if cfg.mode == "ms" else ".thrbv.spumoni")
     dense = load_dense_index(index_path)
     engine = _make_engine(cfg, dense)
+    if cfg.device != "cpu":
+        from .utils import device_array_footprint
+        fp = device_array_footprint(engine.arrays)
+        log("run", f"index resident in HBM: {fp['__total__'] / 1e6:.1f} MB "
+                   f"(n={dense.n}, r={dense.r})")
 
     if cfg.is_general_text:
         return _run_general_text(cfg, engine)
