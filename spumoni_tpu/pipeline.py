@@ -307,6 +307,11 @@ class RunConfig:
             if not self.use_promotions and not self.use_dna_letters:
                 raise ValueError("a minimizer type (-m or -a) is required, "
                                  "or disable digestion with -n")
+        # general-text restrictions (spumoni_main.hpp:305-310)
+        if self.is_general_text and self.min_digest:
+            raise ValueError("general-text querying requires -n (no digestion)")
+        if self.is_general_text and self.write_report:
+            raise ValueError("classification is not available for general text")
         if not MIN_BIN_SIZE <= self.bin_size <= MAX_BIN_SIZE:
             raise ValueError(f"bin size must be in [{MIN_BIN_SIZE},{MAX_BIN_SIZE}]")
 
