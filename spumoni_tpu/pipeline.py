@@ -135,12 +135,12 @@ def build(cfg: BuildConfig) -> str:
 
     # ---- index construction (replaces PFP/pfp_thresholds subprocesses) ----
     text = res.text
-    # SA-IS is in-memory: ~26 bytes/char peak (SA + LCP + rank + text).
-    # A PFP construction path (Big-BWT equivalent) is the planned fix for
-    # builds beyond this bound.
+    # SA-IS is in-memory: ~13 bytes/char peak with 32-bit indexes
+    # (n < 2^31), ~26 beyond. A PFP construction path (Big-BWT equivalent)
+    # is the planned fix for builds beyond this bound.
     try:
         avail = os.sysconf("SC_AVPHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
-        need = 26 * len(text)
+        need = (13 if len(text) < 2**31 - 2 else 26) * len(text)
         if need > avail:
             raise MemoryError(
                 f"index construction needs ~{need / 1e9:.1f} GB "
