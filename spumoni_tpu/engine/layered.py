@@ -11,10 +11,11 @@ a NODE-ary layered search:
   D = ceil(log_NODE(R_c)) levels; each level is ONE row gather + a NODE-wide
   compare-count (VPU).
 
-Per-run fields (start, len, cum, thr [, ssamp, esamp, sdoc, edoc]) are packed
-in PAIRS — row k holds the fields of run k and run k+1 — so the post-search
-fetch is a single row gather. Per-char scalars (F, cnt, lo0, hi0, level row
-offsets) pack into one [256, 16] "charmeta" row gather.
+Per-run fields are packed so ONE row gather provides exactly what a step
+consumes: row k+1 = [start_k, len_k, cum_k, thr_{k+1}(, esamp_k, ssamp_{k+1},
+edoc_k, sdoc_{k+1})] — the current run's match/rank data plus the next run's
+jump-down targets. Per-char scalars (F, cnt, lo0, hi0, level row offsets)
+pack into one [256, 16] "charmeta" row gather.
 
 Per step: 1 charmeta + D level + 1 field row-gathers
 (vs ~28 scalar gathers for engine v1; measured ~7x faster end to end).
@@ -35,7 +36,7 @@ DEFAULT_NODE = 64
 class LayeredArrays(NamedTuple):
     charmeta: jnp.ndarray            # [256, 16]: F, cnt, lo0, hi0, rowoff[t]..
     levels: Tuple[jnp.ndarray, ...]  # D arrays [rows_t, NODE]
-    fields: jnp.ndarray              # [rp, 2W]: packed fields of runs k, k+1
+    fields: jnp.ndarray              # [rp, W]: row k+1 = run k + next-run data
     text: Optional[jnp.ndarray]      # [nt] u8 (MS extension)
     # per-char fused matrix (charmeta ++ root level row), split into exact
     # 16-bit f32 planes so the per-char lookups run on the MXU as one-hot
@@ -51,15 +52,16 @@ class LayeredMeta(NamedTuple):
     depth: int                # D
     node: int                 # NODE width
     dtype: str
-    width: int                # W (fields per run; row width is 2W)
+    width: int                # W (row width)
     has_samples: bool
     has_doc: bool
     has_text: bool
     fused_root: bool = False  # per-char lookups via one-hot MXU matmul
 
 
-# field slot order inside a W-wide half-row
-F_START, F_LEN, F_CUM, F_THR, F_SSAMP, F_ESAMP, F_SDOC, F_EDOC = range(8)
+# field slot order inside a row; START/LEN/CUM/ESAMP/EDOC describe run k
+# (stored at row k+1), THR/SSAMP/SDOC describe run k+1 (the jump-down target)
+F_START, F_LEN, F_CUM, F_THR, F_ESAMP, F_SSAMP, F_EDOC, F_SDOC = range(8)
 
 
 def build_layered(idx, want_samples=None, want_doc=None, want_text=None,
@@ -111,23 +113,35 @@ def build_layered(idx, want_samples=None, want_doc=None, want_text=None,
     for t in range(D):
         charmeta[:, 4 + t] = rowoffs[t]
 
-    # --- packed paired fields: row k = fields(run k) ++ fields(run k+1) ---
-    W = 8 if (want_samples or want_doc) else 4
+    # --- packed fields: one row per run holding exactly what a step needs.
+    # Row j+1 describes run j:   [start_j, len_j, cum_j, thr_{j+1}
+    #                            (, esamp_j, ssamp_{j+1}, edoc_j, sdoc_{j+1})]
+    # (match/rank need run k's start/len/cum; a jump-down needs the NEXT
+    # run's threshold/start-sample/doc; a jump-up needs run k's
+    # end-sample/doc — nothing else is ever read.)
+    # Row 0 is the virtual predecessor of run 0 so a dead search
+    # (pos before the first c-run, probing row lo0) still reads the first
+    # c-run's threshold (0) and start sample as its "next".
+    W = 8  # 32-byte rows: narrower random rows gather slower on this part
     r = int(idx.r)
-    rp = max(1, 1 << (r - 1).bit_length())
-    single = np.zeros((rp + 1, W), dtype=np.int64)
-    single[:, F_START] = n  # sentinel start for padded slots
-    single[:r, F_START] = c_start
-    single[:r, F_LEN] = np.asarray(idx.c_len)
-    single[:r, F_CUM] = np.asarray(idx.c_cum)
-    single[:r, F_THR] = np.asarray(idx.c_thr)
+    rp = max(2, 1 << r.bit_length())  # rows 0..r fit
+    fields = np.zeros((rp, W), dtype=np.int64)
+    fields[:, F_START] = n  # sentinel start for padded/virtual slots
+    fields[1:r + 1, F_START] = c_start
+    fields[1:r + 1, F_LEN] = np.asarray(idx.c_len)
+    fields[1:r + 1, F_CUM] = np.asarray(idx.c_cum)
+    thr = np.asarray(idx.c_thr)
+    fields[:r, F_THR] = thr          # row j holds thr of run j (next of j-1)
     if want_samples:
-        single[:r, F_SSAMP] = np.asarray(idx.c_ssamp)
-        single[:r, F_ESAMP] = np.asarray(idx.c_esamp)
+        ss = np.asarray(idx.c_ssamp)
+        es = np.asarray(idx.c_esamp)
+        fields[1:r + 1, F_ESAMP] = es
+        fields[:r, F_SSAMP] = ss
     if want_doc:
-        single[:r, F_SDOC] = np.asarray(idx.c_sdoc)
-        single[:r, F_EDOC] = np.asarray(idx.c_edoc)
-    fields = np.concatenate([single[:rp], single[1:rp + 1]], axis=1)
+        sd = np.asarray(idx.c_sdoc)
+        ed = np.asarray(idx.c_edoc)
+        fields[1:r + 1, F_EDOC] = ed
+        fields[:r, F_SDOC] = sd
 
     text = None
     if want_text and idx.text is not None:
@@ -261,22 +275,21 @@ def make_layered_step_fn(meta: LayeredMeta, mode: str, use_doc: bool):
         valid_k = ~dead
         k = lo0 + rank
 
-        # one paired-field row gather: valid lanes read runs (k, k+1);
-        # dead lanes read (lo0, lo0+1) — their "next c-run" is slot lo0,
-        # whose threshold is 0, forcing the jump-down the reference takes
-        # when rank(pos,c) == 0 (compute_ms_pml.cpp:259-268).
+        # one field-row gather: row k+1 holds run k's start/len/cum/esamp/edoc
+        # AND run k+1's thr/ssamp/sdoc. Dead lanes probe row lo0 — their
+        # "next c-run" is run lo0, whose threshold is 0, forcing the
+        # jump-down the reference takes when rank(pos,c) == 0
+        # (compute_ms_pml.cpp:259-268).
         rp = ix.fields.shape[0]
-        probe = jnp.where(valid_k, k, lo0)
-        row = ix.fields[jnp.clip(probe, 0, rp - 1)]           # [B, 2W]
-        fk = row[:, :W]
-        fnext = jnp.where(valid_k[:, None], row[:, W:], row[:, :W])
+        probe = jnp.where(valid_k, k + 1, lo0)
+        row = ix.fields[jnp.clip(probe, 0, rp - 1)]           # [B, W]
 
-        start_k, len_k, cum_k = fk[:, F_START], fk[:, F_LEN], fk[:, F_CUM]
+        start_k, len_k, cum_k = row[:, F_START], row[:, F_LEN], row[:, F_CUM]
         is_match = valid_k & (pos < start_k + len_k)
         rnk = jnp.where(valid_k,
                         cum_k + jnp.minimum(pos - start_k, len_k), 0)
         has_next = jnp.where(valid_k, (rank + 1) < (hi0 - lo0), cntc > 0)
-        thr = fnext[:, F_THR]
+        thr = row[:, F_THR]
 
         jump_down = (~is_match) & has_next & (pos >= thr)
         empty = cntc == 0
@@ -288,12 +301,12 @@ def make_layered_step_fn(meta: LayeredMeta, mode: str, use_doc: bool):
         if ms:
             new_sample = jnp.where(empty, 0,
                          jnp.where(is_match, sample - 1,
-                         jnp.where(jump_down, fnext[:, F_SSAMP],
-                                   fk[:, F_ESAMP])))
+                         jnp.where(jump_down, row[:, F_SSAMP],
+                                   row[:, F_ESAMP])))
         else:
             new_sample = sample
         if use_doc:
-            jumped = jnp.where(jump_down, fnext[:, F_SDOC], fk[:, F_EDOC])
+            jumped = jnp.where(jump_down, row[:, F_SDOC], row[:, F_EDOC])
             if ms:
                 new_doc = jnp.where(empty, ix.first_run_sdoc,
                           jnp.where(is_match, doc, jumped))

@@ -159,11 +159,13 @@ class ShardedPmlClassifier:
     """Data-parallel PML classification over a mesh (replicated index)."""
 
     def __init__(self, arrays, meta, mesh: Mesh,
-                 bin_width: int, max_value_thr: int, axis: str = "data"):
+                 bin_width: int, max_value_thr: int, axis: str = "data",
+                 host=None):
         self.mesh = mesh
         self.axis = axis
         self.arrays = replicate_index(arrays, mesh)
         self.meta = meta
+        self.host = host  # LayeredHost: enables the reduced-alphabet planes
         self.r = int((arrays.fields if hasattr(arrays, "fields")
                       else arrays.c_start).shape[0])
         self.bin_width = bin_width
@@ -188,10 +190,34 @@ class ShardedPmlClassifier:
             rev[i, :len(a)] = a[::-1]
             lens[i] = len(a)
 
+        planes = None
+        if (not want_values and self.host is not None
+                and hasattr(self.arrays, "fields")):
+            # reduced-alphabet fused lookup (rank-mapped reads) — only the
+            # fused kernel below accepts planes
+            alphabet = tuple(sorted(
+                set(self.host.index_chars)
+                | set(int(x) for x in np.unique(rev)) | {0}))
+            rev = self.host.rank_map(alphabet)[rev]
+            planes = replicate_index(
+                self.host.planes_for_alphabet(alphabet), self.mesh)
+
         shard = NamedSharding(self.mesh, P(self.axis, None))
         shard1 = NamedSharding(self.mesh, P(self.axis))
         rev_d = jax.device_put(jnp.asarray(rev), shard)
         lens_d = jax.device_put(jnp.asarray(lens), shard1)
+        if not want_values:
+            # classify-only: fused scan+binmax kernel, O(B) leaves the chips
+            found, above, below, sums = fused_classify_kernel(
+                self.arrays, rev_d, lens_d, self.max_value_thr, self.meta,
+                "pml", self.r, self.bin_width, planes)
+            return {
+                "found": np.asarray(found)[:nreads],
+                "above": np.asarray(above)[:nreads],
+                "below": np.asarray(below)[:nreads],
+                "sum_maxes": np.asarray(sums)[:nreads],
+                "total_found": int(np.asarray(found)[:nreads].sum()),
+            }
         max_bins = max(1, -(-L // self.bin_width))
         vals, found, above, below, sums, total = sharded_classify_kernel(
             self.arrays, rev_d, lens_d, self.max_value_thr, self.meta, "pml",

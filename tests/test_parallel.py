@@ -126,3 +126,31 @@ def test_fused_classify_kernel(rng, make_reads):
         assert h.bins_above == int(above[i]), (i, h.bins_above, int(above[i]))
         assert h.bins_below == int(below[i]), i
         assert h.bin_maxes.sum() == int(summ[i]), i
+
+
+def test_sharded_classify_only_fused(rng, make_reads):
+    from spumoni_tpu.engine.layered import build_layered
+
+    text = rand_dna(rng, 5000)
+    tarr = np.frombuffer(text, np.uint8)
+    raw = build_raw_index(tarr)
+    dense = build_dense_index(raw)
+    arrays, meta, host = build_layered(dense)
+    native = NativeQueryEngine(raw.n, raw.run_heads, raw.run_starts,
+                               raw.thresholds, raw.samples_start,
+                               raw.samples_last)
+    mesh = make_data_mesh()
+    clf = ShardedPmlClassifier(arrays, meta, mesh, bin_width=150,
+                               max_value_thr=5, host=host)
+    reads = [mutated_substring(rng, text, 350, err=0.05) for _ in range(8)]
+    reads += [rand_dna(rng, 350) for _ in range(8)]
+    out = clf.classify(reads, want_values=False)
+    ref = native.query_pml(reads)
+    n_found = 0
+    for i in range(len(reads)):
+        h = binmax.classify(ref[i], 150, 5)
+        assert (h.status == "FOUND") == bool(out["found"][i]), i
+        assert h.bins_above == out["above"][i], i
+        assert h.bins_below == out["below"][i], i
+        n_found += h.status == "FOUND"
+    assert out["total_found"] == n_found
