@@ -57,6 +57,7 @@ class LayeredMeta(NamedTuple):
     has_doc: bool
     has_text: bool
     fused_root: bool = False  # per-char lookups via one-hot MXU matmul
+    group: int = 1            # field rows grouped G runs per physical row
 
 
 # field slot order inside a row; START/LEN/CUM/ESAMP/EDOC describe run k
@@ -64,8 +65,18 @@ class LayeredMeta(NamedTuple):
 F_START, F_LEN, F_CUM, F_THR, F_ESAMP, F_SSAMP, F_EDOC, F_SDOC = range(8)
 
 
+# XLA's TPU gather slows ~5x once a table exceeds ~2^17 rows (measured on
+# v5e: 131k-row tables gather at ~2ns/row/lane, 262k+ rows at ~13ns/row,
+# independent of row WIDTH or total bytes). Tables bigger than this are
+# therefore stored with GROUP runs packed per physical row and the target
+# selected in-register after the gather.
+GATHER_ROW_CLIFF = 1 << 17
+FIELD_GROUP = 16
+
+
 def build_layered(idx, want_samples=None, want_doc=None, want_text=None,
-                  node: int = DEFAULT_NODE, fuse_root: bool = True):
+                  node: int = DEFAULT_NODE, fuse_root: bool = True,
+                  group: Optional[int] = None):
     """DenseIndex -> (LayeredArrays on device, LayeredMeta)."""
     if want_samples is None:
         want_samples = idx.c_ssamp is not None
@@ -125,6 +136,10 @@ def build_layered(idx, want_samples=None, want_doc=None, want_text=None,
     W = 8  # 32-byte rows: narrower random rows gather slower on this part
     r = int(idx.r)
     rp = max(2, 1 << r.bit_length())  # rows 0..r fit
+    if group is None:
+        group = FIELD_GROUP if rp > GATHER_ROW_CLIFF else 1
+    if rp % group:
+        rp = -(-rp // group) * group
     fields = np.zeros((rp, W), dtype=np.int64)
     fields[:, F_START] = n  # sentinel start for padded/virtual slots
     fields[1:r + 1, F_START] = c_start
@@ -168,6 +183,9 @@ def build_layered(idx, want_samples=None, want_doc=None, want_text=None,
             jnp.asarray(((mat >> (8 * p)) & 0xFF).astype(np.float32))
             for p in range(n_planes))
 
+    if group > 1:
+        fields = fields.reshape(rp // group, group * W)
+
     arrays = LayeredArrays(
         rootmat_planes=rootmat_planes,
         charmeta=jnp.asarray(charmeta.astype(dtype)),
@@ -181,7 +199,8 @@ def build_layered(idx, want_samples=None, want_doc=None, want_text=None,
     )
     meta = LayeredMeta(depth=D, node=node, dtype=np.dtype(dtype).name, width=W,
                        has_samples=bool(want_samples), has_doc=bool(want_doc),
-                       has_text=text is not None, fused_root=fuse_root)
+                       has_text=text is not None, fused_root=fuse_root,
+                       group=group)
     host = LayeredHost(charmeta_np=charmeta, root_np=root_rows,
                        n_planes=n_planes,
                        index_chars=tuple(int(c) for c in range(256)
@@ -230,6 +249,7 @@ def make_layered_step_fn(meta: LayeredMeta, mode: str, use_doc: bool):
     D, NODE, W = meta.depth, meta.node, meta.width
 
     fused = meta.fused_root
+    G = meta.group
 
     def step(ix: LayeredArrays, carry, chars, planes=None):
         """chars are raw bytes, unless `planes` (reduced-alphabet matrices)
@@ -280,9 +300,18 @@ def make_layered_step_fn(meta: LayeredMeta, mode: str, use_doc: bool):
         # "next c-run" is run lo0, whose threshold is 0, forcing the
         # jump-down the reference takes when rank(pos,c) == 0
         # (compute_ms_pml.cpp:259-268).
-        rp = ix.fields.shape[0]
-        probe = jnp.where(valid_k, k + 1, lo0)
-        row = ix.fields[jnp.clip(probe, 0, rp - 1)]           # [B, W]
+        rp = ix.fields.shape[0] * G
+        probe = jnp.clip(jnp.where(valid_k, k + 1, lo0), 0, rp - 1)
+        if G == 1:
+            row = ix.fields[probe]                            # [B, W]
+        else:
+            # grouped rows: gather the G-run physical row, select the target
+            # run's W-slot window in-register (masked sum — cheaper than
+            # take_along_axis on this part)
+            grow = ix.fields[probe // G].reshape(-1, G, W)    # [B, G, W]
+            sel = (jnp.arange(G, dtype=dt)[None, :] == (probe % G)[:, None])
+            row = jnp.sum(jnp.where(sel[:, :, None], grow, 0),
+                          axis=1).astype(dt)
 
         start_k, len_k, cum_k = row[:, F_START], row[:, F_LEN], row[:, F_CUM]
         is_match = valid_k & (pos < start_k + len_k)

@@ -47,6 +47,24 @@ def test_layered_pml_ms_matches_native(rng, make_reads):
             assert np.array_equal(a, brute_force_ms(text, rd))
 
 
+def test_layered_grouped_fields_matches_native(rng, make_reads):
+    """group>1 packs G runs per physical field row (big-index layout)."""
+    text, dense, native = _setup(rng, 6000)
+    arrays, meta, host = build_layered(dense, group=16)
+    assert meta.group == 16
+    reads = make_reads(rng, text, num=12, max_len=250)
+    reads.append(b"N" * 64)
+
+    pml = ScanEngine(arrays, meta, mode="pml", host=host).query(reads)
+    for a, b in zip(pml["lengths"], native.query_pml(reads)):
+        assert np.array_equal(a, b)
+
+    ms = ScanEngine(arrays, meta, mode="ms", host=host).query(reads)
+    ptrs, _ = native.query_ms(reads)
+    for a, b in zip(ms["pointers"], ptrs):
+        assert np.array_equal(a, b)
+
+
 def test_layered_doc_matches_native(rng, make_reads):
     text, dense, native = _setup(rng, 5000, with_doc=True)
     arrays, meta, host = build_layered(dense)
