@@ -16,10 +16,11 @@ import bench
 
 
 def main():
-    cfg = dict(B=65536, node=64, reps=3, L=1024, pack=0)
+    cfg = dict(B=65536, node=64, reps=3, L=1024, pack=0, engine="layered",
+               P=128)
     for a in sys.argv[1:]:
         k, v = a.split("=")
-        cfg[k] = int(v)
+        cfg[k] = type(cfg[k])(v)
     B, L, node = cfg["B"], cfg["L"], cfg["node"]
 
     raw, text, rng = bench.get_index()
@@ -28,29 +29,38 @@ def main():
     import jax
     import jax.numpy as jnp
     from spumoni_tpu.index.format import build_dense_index
-    from spumoni_tpu.engine import layered
+    from spumoni_tpu.engine import layered, occblock
     from spumoni_tpu.parallel.mesh import fused_classify_kernel
 
     dense = build_dense_index(raw)
-    kw = {}
-    if cfg["pack"]:
-        kw["pack_pairs"] = True
-    arrays, meta, host = layered.build_layered(dense, node=node, **kw)
-    print("meta:", meta, flush=True)
-    for i, lv in enumerate(arrays.levels):
-        print(f"  level[{i}]: {lv.shape} {lv.dtype} "
-              f"{lv.size * lv.dtype.itemsize / 1e6:.1f} MB", flush=True)
-    f = arrays.fields
-    print(f"  fields: {f.shape} {f.dtype} "
-          f"{f.size * f.dtype.itemsize / 1e6:.1f} MB", flush=True)
+    if cfg["engine"] == "occ":
+        arrays, meta, host = occblock.build_occblock(dense, P=cfg["P"])
+        print("meta:", meta, flush=True)
+        b = arrays.blocks
+        print(f"  blocks: {b.shape} {b.dtype} "
+              f"{b.size * b.dtype.itemsize / 1e6:.1f} MB", flush=True)
+        alphabet = tuple(sorted(set(host.index_chars) | {0}))
+    else:
+        kw = {}
+        if cfg["pack"]:
+            kw["pack_pairs"] = True
+        arrays, meta, host = layered.build_layered(dense, node=node, **kw)
+        print("meta:", meta, flush=True)
+        for i, lv in enumerate(arrays.levels):
+            print(f"  level[{i}]: {lv.shape} {lv.dtype} "
+                  f"{lv.size * lv.dtype.itemsize / 1e6:.1f} MB", flush=True)
+        f = arrays.fields
+        print(f"  fields: {f.shape} {f.dtype} "
+              f"{f.size * f.dtype.itemsize / 1e6:.1f} MB", flush=True)
+        alphabet = tuple(sorted(set(host.index_chars) | {0}))
 
     reads = bench.make_reads(rng, text, B, L)
     rev = np.ascontiguousarray(reads[:, ::-1])
-    alphabet = tuple(sorted(set(host.index_chars) | {0}))
     planes = host.planes_for_alphabet(alphabet)
     rev = host.rank_map(alphabet)[rev]
     lens = np.full((B,), L, dtype=np.int64)
-    rp = int(arrays.fields.shape[0])
+    rp = int(arrays.blocks.shape[0] if cfg["engine"] == "occ"
+             else arrays.fields.shape[0])
 
     def step(rev_d, lens_d):
         return fused_classify_kernel(arrays, rev_d, lens_d, 7, meta, "pml",
@@ -72,7 +82,7 @@ def main():
         found, above, below, _ = step(rev_d, lens_d)
     np.asarray(found)
     dt = (time.time() - t0) / reps
-    print(f"RESULT B={B} node={node} pack={cfg['pack']}: "
+    print(f"RESULT eng={cfg["engine"]} B={B} node={node}: "
           f"{B/dt:,.0f} reads/s  {B*L/dt/1e6:.1f} Mbases/s  "
           f"({dt*1e6/L:.0f} us/step)", flush=True)
 

@@ -133,7 +133,9 @@ def build_layered(idx, want_samples=None, want_doc=None, want_text=None,
     # Row 0 is the virtual predecessor of run 0 so a dead search
     # (pos before the first c-run, probing row lo0) still reads the first
     # c-run's threshold (0) and start sample as its "next".
-    W = 8  # 32-byte rows: narrower random rows gather slower on this part
+    # PML-only rows carry just (start, len, cum, thr); samples/doc slots
+    # exist only when the index needs them (halves field bytes + probe cost)
+    W = 8 if (want_samples or want_doc) else 4
     r = int(idx.r)
     rp = max(2, 1 << r.bit_length())  # rows 0..r fit
     if group is None:

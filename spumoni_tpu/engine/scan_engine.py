@@ -132,6 +132,38 @@ def query_batch_kernel_v2(ix, reads_rev: jnp.ndarray, meta, mode: str,
     return vals.T, (docs.T if use_doc else None), state
 
 
+@functools.partial(
+    jax.jit, static_argnames=("meta", "mode", "use_doc", "finalize"))
+def query_batch_kernel_v3(ix, reads_rev: jnp.ndarray, meta, mode: str,
+                          use_doc: bool, planes, state=None,
+                          finalize: bool = True):
+    """Occ-block variant (engine v3, see occblock.py). reads_rev must be
+    QUERY-rank mapped (OccHost.rank_map).
+
+    MS samples and doc ids resolve one iteration LATE (the jump decision is
+    deferred into the next step's single gather). With finalize=True the
+    kernel appends one sentinel iteration and realigns internally; with
+    finalize=False it returns RAW emits (iteration i carries step i-1's
+    sample/doc) plus the carry state — the chunked long-read path stitches
+    and realigns on the host. Returns (vals, docs, state)."""
+    from .occblock import make_occ_step_fn, occ_initial_state
+
+    B, L = reads_rev.shape
+    step = make_occ_step_fn(meta, mode, use_doc)
+    if state is None:
+        state = occ_initial_state(ix, B)
+    xs = reads_rev.T
+    lag = (mode == "ms") or use_doc
+    if finalize and lag:
+        xs = jnp.concatenate([xs, jnp.zeros((1, B), xs.dtype)])
+    state, (vals, docs) = jax.lax.scan(
+        lambda carry, ch: step(ix, carry, ch, planes), state, xs)
+    if finalize and lag:
+        vals = vals[1:] if mode == "ms" else vals[:L]
+        docs = docs[1:] if use_doc else docs
+    return vals.T, (docs.T if use_doc else None), state
+
+
 @functools.partial(jax.jit, static_argnames=("meta", "mode", "use_doc", "r"))
 def query_batch_kernel(ix: IndexArrays, reads_rev: jnp.ndarray,
                        meta: IndexMeta, mode: str, use_doc: bool, r: int):
@@ -222,8 +254,12 @@ class ScanEngine:
         self.use_doc = use_doc
         self.pad_to = pad_to
         self.layered = hasattr(arrays, "fields")
-        self.host = host if self.layered else None
+        self.occ = hasattr(arrays, "blocks")
+        if self.occ and host is None:
+            raise ValueError("occ-block engine requires its OccHost")
+        self.host = host if (self.layered or self.occ) else None
         self.r = int(arrays.fields.shape[0] if self.layered
+                     else arrays.blocks.shape[0] if self.occ
                      else arrays.c_start.shape[0])
         self.nt = int(arrays.text.shape[0]) if arrays.text is not None else 0
 
@@ -247,7 +283,45 @@ class ScanEngine:
             fwd[i, :len(a)] = a
             rev[i, :len(a)] = a[::-1]
             lens[i] = len(a)
-        if self.layered:
+        if self.occ:
+            from .occblock import occ_initial_state
+            alphabet = tuple(sorted(
+                {0} | set(int(x) for x in np.unique(rev))))
+            planes = self.host.planes_for_alphabet(alphabet)
+            revm = self.host.rank_map(alphabet)[rev]
+            lag = (self.mode == "ms") or self.use_doc
+            if L > self.chunk:
+                # chunked: RAW emits per chunk (+ one sentinel column when
+                # lagged), realigned here — see query_batch_kernel_v3
+                state = occ_initial_state(self.arrays, revm.shape[0])
+                v_parts, d_parts = [], []
+                cols = list(range(0, L, self.chunk))
+                for c0 in cols:
+                    v, d, state = query_batch_kernel_v3(
+                        self.arrays, jnp.asarray(revm[:, c0:c0 + self.chunk]),
+                        self.meta, self.mode, self.use_doc, planes, state,
+                        finalize=False)
+                    v_parts.append(np.asarray(v))
+                    if self.use_doc:
+                        d_parts.append(np.asarray(d))
+                if lag:
+                    v, d, state = query_batch_kernel_v3(
+                        self.arrays, jnp.zeros((revm.shape[0], 1), jnp.uint8),
+                        self.meta, self.mode, self.use_doc, planes, state,
+                        finalize=False)
+                    v_parts.append(np.asarray(v))
+                    if self.use_doc:
+                        d_parts.append(np.asarray(d))
+                vals = np.concatenate(v_parts, axis=1)
+                docs = np.concatenate(d_parts, axis=1) if self.use_doc else None
+                if lag:
+                    vals = vals[:, 1:] if self.mode == "ms" else vals[:, :L]
+                    docs = docs[:, 1:] if self.use_doc else None
+            else:
+                vals, docs = query_batch_kernel_v3(
+                    self.arrays, jnp.asarray(revm), self.meta, self.mode,
+                    self.use_doc, planes)[:2]
+        elif self.layered:
             planes = None
             if self.host is not None:
                 # reduced-alphabet fused lookup: rank-map reads on the host

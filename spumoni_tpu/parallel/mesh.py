@@ -26,6 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..engine.arrays import IndexArrays, IndexMeta
 from ..engine.layered import LayeredArrays, make_layered_step_fn
+from ..engine.occblock import make_occ_step_fn, occ_initial_state
 from ..engine.scan_engine import make_step_fn
 
 
@@ -41,9 +42,26 @@ def replicate_index(arrays, mesh: Mesh):
 
 
 def _step_fn_for(arrays, meta, mode, use_doc, r):
+    if hasattr(arrays, "blocks"):
+        return make_occ_step_fn(meta, mode, use_doc)
     if isinstance(arrays, LayeredArrays) or hasattr(arrays, "fields"):
         return make_layered_step_fn(meta, mode, use_doc)
     return make_step_fn(meta, mode, use_doc, r)
+
+
+def _dtype_of(ix):
+    if hasattr(ix, "blocks"):
+        return ix.blocks.dtype
+    return (ix.fields if hasattr(ix, "fields") else ix.c_start).dtype
+
+
+def _initial_core(ix, B, dt):
+    if hasattr(ix, "blocks"):
+        return occ_initial_state(ix, B)
+    return (jnp.full((B,), ix.n - 1, dtype=dt),
+            jnp.zeros((B,), dtype=dt),
+            jnp.full((B,), ix.last_run_sample, dtype=dt),
+            jnp.full((B,), ix.last_run_edoc, dtype=dt))
 
 
 @functools.partial(
@@ -59,23 +77,22 @@ def fused_classify_kernel(ix, reads_rev, lens, max_value_thr, meta,
     chip in classify-only mode.
     """
     B, L = reads_rev.shape
-    dt = (ix.fields if hasattr(ix, "fields") else ix.c_start).dtype
+    dt = _dtype_of(ix)
     step = _step_fn_for(ix, meta, mode, False, r)
+    occ = hasattr(ix, "blocks")
+    assert mode == "pml" or not occ, "occ engine: fused classify is PML-only"
 
     lens = lens.astype(dt)
     nbins = jnp.maximum(lens // bin_width, 1)
 
-    pos0 = jnp.full((B,), ix.n - 1, dtype=dt)
-    len0 = jnp.zeros((B,), dtype=dt)
-    samp0 = jnp.full((B,), ix.last_run_sample, dtype=dt)
-    doc0 = jnp.full((B,), ix.last_run_edoc, dtype=dt)
+    core0 = _initial_core(ix, B, dt)
     neg1 = jnp.full((B,), -1, dtype=dt)
     zero = jnp.zeros((B,), dtype=dt)
 
     def fused_step(carry, x):
         ch, i = x
         (core, prev_b, cur_max, above, below, summ) = carry
-        if hasattr(ix, "fields"):
+        if occ or hasattr(ix, "fields"):
             core, (val, _) = step(ix, core, ch, planes)
         else:
             core, (val, _) = step(ix, core, ch)
@@ -93,8 +110,7 @@ def fused_classify_kernel(ix, reads_rev, lens, max_value_thr, meta,
 
     xs = (reads_rev.T, jnp.arange(L, dtype=dt))
     (core, prev_b, cur_max, above, below, summ), _ = jax.lax.scan(
-        fused_step, ((pos0, len0, samp0, doc0), neg1, neg1, zero, zero, zero),
-        xs)
+        fused_step, (core0, neg1, neg1, zero, zero, zero), xs)
     # close the final open bin
     has = lens > 0
     above = above + jnp.where(has & (cur_max >= max_value_thr), 1, 0)
@@ -109,7 +125,7 @@ def fused_classify_kernel(ix, reads_rev, lens, max_value_thr, meta,
     static_argnames=("meta", "mode", "use_doc", "r", "bin_width", "max_bins"))
 def sharded_classify_kernel(ix: IndexArrays, reads_rev, lens, max_value_thr,
                             meta: IndexMeta, mode: str, use_doc: bool, r: int,
-                            bin_width: int, max_bins: int):
+                            bin_width: int, max_bins: int, planes=None):
     """Full device-side PML pipeline for one sharded batch: lockstep scan ->
     per-lane bin-max classification -> global psum of found counts.
 
@@ -118,16 +134,17 @@ def sharded_classify_kernel(ix: IndexArrays, reads_rev, lens, max_value_thr,
     sum_maxes [B], total_found scalar).
     """
     B, L = reads_rev.shape
-    dt = (ix.fields if hasattr(ix, "fields") else ix.c_start).dtype
+    dt = _dtype_of(ix)
     step = _step_fn_for(ix, meta, mode, use_doc, r)
+    occ = hasattr(ix, "blocks")
+    assert mode == "pml" and not use_doc or not occ
 
-    pos0 = jnp.full((B,), ix.n - 1, dtype=dt)
-    len0 = jnp.zeros((B,), dtype=dt)
-    samp0 = jnp.full((B,), ix.last_run_sample, dtype=dt)
-    doc0 = jnp.full((B,), ix.last_run_edoc, dtype=dt)
-    _, (vals, _) = jax.lax.scan(
-        lambda carry, ch: step(ix, carry, ch), (pos0, len0, samp0, doc0),
-        reads_rev.T)
+    core0 = _initial_core(ix, B, dt)
+    if occ:
+        body = lambda carry, ch: step(ix, carry, ch, planes)
+    else:
+        body = lambda carry, ch: step(ix, carry, ch)
+    _, (vals, _) = jax.lax.scan(body, core0, reads_rev.T)
     vals = vals.T  # [B, L] (reversed read order per lane)
 
     # classification on the reversed values: window maxima are computed on the
@@ -165,9 +182,13 @@ class ShardedPmlClassifier:
         self.axis = axis
         self.arrays = replicate_index(arrays, mesh)
         self.meta = meta
-        self.host = host  # LayeredHost: enables the reduced-alphabet planes
-        self.r = int((arrays.fields if hasattr(arrays, "fields")
-                      else arrays.c_start).shape[0])
+        self.host = host  # Layered/OccHost: enables per-char plane matrices
+        self.occ = hasattr(arrays, "blocks")
+        if self.occ and host is None:
+            raise ValueError("occ-block engine requires its OccHost")
+        self.r = int(arrays.blocks.shape[0] if self.occ
+                     else (arrays.fields if hasattr(arrays, "fields")
+                           else arrays.c_start).shape[0])
         self.bin_width = bin_width
         self.max_value_thr = max_value_thr
         self.ndev = mesh.devices.size
@@ -191,7 +212,14 @@ class ShardedPmlClassifier:
             lens[i] = len(a)
 
         planes = None
-        if (not want_values and self.host is not None
+        if self.occ:
+            # occ-block reads are always query-rank mapped
+            alphabet = tuple(sorted(
+                {0} | set(int(x) for x in np.unique(rev))))
+            rev = self.host.rank_map(alphabet)[rev]
+            planes = replicate_index(
+                self.host.planes_for_alphabet(alphabet), self.mesh)
+        elif (not want_values and self.host is not None
                 and hasattr(self.arrays, "fields")):
             # reduced-alphabet fused lookup (rank-mapped reads) — only the
             # fused kernel below accepts planes
@@ -221,7 +249,7 @@ class ShardedPmlClassifier:
         max_bins = max(1, -(-L // self.bin_width))
         vals, found, above, below, sums, total = sharded_classify_kernel(
             self.arrays, rev_d, lens_d, self.max_value_thr, self.meta, "pml",
-            False, self.r, self.bin_width, max_bins)
+            False, self.r, self.bin_width, max_bins, planes)
         out = {
             "found": np.asarray(found)[:nreads],
             "above": np.asarray(above)[:nreads],
