@@ -32,8 +32,12 @@
 #include <thread>
 #include <atomic>
 #include <functional>
+#include <string>
+#include <unordered_map>
 
 typedef int64_t i64;
+typedef int32_t i32;
+typedef uint64_t u64;
 typedef uint8_t u8;
 
 // ---------------------------------------------------------------------------
@@ -283,6 +287,146 @@ void spn_get_samples_last(SpnIndex* idx, i64* out) {
     std::memcpy(out, idx->samples_last.data(), idx->r * sizeof(i64));
 }
 void spn_free(SpnIndex* idx) { delete idx; }
+
+}  // extern "C" (reopened below)
+
+// ---------------------------------------------------------------------------
+// Prefix-free parsing (functional equivalent of Big-BWT's newscan.x /
+// pscan.x, invoked by the reference at /root/reference/src/spumoni.cpp:442-472
+// with window w=10 and modulus hash_mod=100).
+//
+// A Karp-Rabin rolling hash over the last `w` characters marks a phrase
+// boundary whenever hash % mod == 0; consecutive phrases OVERLAP by the
+// w-character trigger window, so the parsing of T is prefix-free over the
+// trigger-string set and T reconstructs as phrase_0 ++ phrase_1[w:] ++ ...
+// The scanned string is Dollar(=2) ++ T ++ Dollar^w, mirroring the PFP
+// special symbols of /root/reference/include/common.hpp:54-56 (Dollar=2,
+// EndOfWord=1, EndOfDict=0 — text bytes must be >= 3 after remapping).
+//
+// This is the memory-lean front half of the large-reference build path: the
+// parse (~n/avg_phrase ids) plus the dictionary (distinct phrases only) are
+// the inputs to a PFP-based BWT/threshold induction that replaces in-memory
+// SA-IS when the reference exceeds the SA-IS budget.
+// ---------------------------------------------------------------------------
+
+struct SpnParse {
+    std::vector<u8>  dict_concat;  // phrases in lex order, 0x01 after each
+    std::vector<i64> dict_off;     // [d] start offset of each phrase
+    std::vector<i64> dict_len;     // [d] phrase length (without separator)
+    std::vector<i64> occ;          // [d] occurrence count in the parse
+    std::vector<i32> parse;        // [k] lex rank (1-based) of each phrase
+};
+
+static const u64 KR_PRIME = 1999999973ULL;  // Big-BWT's published KR modulus
+
+extern "C" {
+
+SpnParse* spn_pfp_parse(const u8* text, i64 n, int w, int mod) {
+    // virtual scan string S = Dollar ++ text ++ Dollar^w (never materialized)
+    i64 ns = n + 1 + w;
+    auto at = [&](i64 i) -> u8 {
+        return (i == 0 || i > n) ? (u8)2 : text[i - 1];
+    };
+    // b^(w-1) mod q for removing the outgoing character
+    u64 bw = 1;
+    for (int i = 0; i < w - 1; ++i) bw = (bw * 256) % KR_PRIME;
+
+    // pass 1: phrase boundaries; phrases keyed by content hash into a map
+    std::unordered_map<std::string, i32> ids;
+    std::vector<std::string> phrases;          // in first-seen order
+    std::vector<i32> parse_tmp;                // first-seen ids
+    std::string cur;
+    cur.push_back(at(0));
+    u64 h = 0;
+    auto close_phrase = [&]() {
+        auto it = ids.find(cur);
+        i32 id;
+        if (it == ids.end()) {
+            id = (i32)phrases.size();
+            ids.emplace(cur, id);
+            phrases.push_back(cur);
+        } else {
+            id = it->second;
+        }
+        parse_tmp.push_back(id);
+    };
+    for (i64 i = 1; i < ns; ++i) {
+        u8 c = at(i);
+        cur.push_back(c);
+        if (i >= w) {
+            if (i > w) {
+                // remove char that left the window: S[i-w]
+                u64 out = at(i - w);
+                h = (h + KR_PRIME * 256 - out * bw % KR_PRIME) % KR_PRIME;
+            }
+            h = (h * 256 + c) % KR_PRIME;
+            if (i == w) {
+                // initialize full window hash
+                h = 0;
+                for (i64 j = i - w + 1; j <= i; ++j)
+                    h = (h * 256 + at(j)) % KR_PRIME;
+            }
+            bool trigger = (h % (u64)mod == 0) && (i + w < ns);
+            if (trigger || i == ns - 1) {
+                close_phrase();
+                if (i != ns - 1) {
+                    // next phrase starts with the w-char trigger window
+                    cur.assign(cur.end() - w, cur.end());
+                }
+            }
+        }
+    }
+
+    // lex-sort the dictionary; remap parse ids to 1-based lex ranks
+    SpnParse* p = new SpnParse();
+    i64 d = (i64)phrases.size();
+    std::vector<i32> order(d);
+    for (i64 i = 0; i < d; ++i) order[i] = (i32)i;
+    std::sort(order.begin(), order.end(), [&](i32 a, i32 b) {
+        return phrases[a] < phrases[b];
+    });
+    std::vector<i32> rank(d);
+    for (i64 i = 0; i < d; ++i) rank[order[i]] = (i32)i;
+
+    p->dict_off.reserve(d);
+    p->dict_len.reserve(d);
+    p->occ.assign(d, 0);
+    for (i64 i = 0; i < d; ++i) {
+        const std::string& ph = phrases[order[i]];
+        p->dict_off.push_back((i64)p->dict_concat.size());
+        p->dict_len.push_back((i64)ph.size());
+        p->dict_concat.insert(p->dict_concat.end(), ph.begin(), ph.end());
+        p->dict_concat.push_back(1);  // EndOfWord (common.hpp:55)
+    }
+    p->dict_concat.push_back(0);      // EndOfDict (common.hpp:56)
+    p->parse.reserve(parse_tmp.size());
+    for (i32 id : parse_tmp) {
+        i32 rk = rank[id];
+        p->parse.push_back(rk + 1);   // 1-based like Big-BWT parses
+        p->occ[rk]++;
+    }
+    return p;
+}
+
+i64 spn_parse_num_phrases(SpnParse* p) { return (i64)p->dict_off.size(); }
+i64 spn_parse_len(SpnParse* p) { return (i64)p->parse.size(); }
+i64 spn_parse_dict_bytes(SpnParse* p) { return (i64)p->dict_concat.size(); }
+void spn_parse_get_dict(SpnParse* p, u8* out) {
+    std::memcpy(out, p->dict_concat.data(), p->dict_concat.size());
+}
+void spn_parse_get_offsets(SpnParse* p, i64* off, i64* len, i64* occ) {
+    std::memcpy(off, p->dict_off.data(), p->dict_off.size() * sizeof(i64));
+    std::memcpy(len, p->dict_len.data(), p->dict_len.size() * sizeof(i64));
+    std::memcpy(occ, p->occ.data(), p->occ.size() * sizeof(i64));
+}
+void spn_parse_get_parse(SpnParse* p, i32* out) {
+    std::memcpy(out, p->parse.data(), p->parse.size() * sizeof(i32));
+}
+void spn_parse_free(SpnParse* p) { delete p; }
+
+}  // extern "C" (reopened below)
+
+extern "C" {
 
 // ---------------------------------------------------------------------------
 // CPU query engine over dense per-character run tables.

@@ -82,6 +82,24 @@ def get_lib() -> ctypes.CDLL:
             lib.spn_query_ms_batch.argtypes = [ctypes.c_void_p, p_u8, p_i64,
                                                c_i64, p_i64, p_i64, p_i64,
                                                ctypes.c_int]
+            p_i32 = ctypes.POINTER(ctypes.c_int32)
+            lib.spn_pfp_parse.restype = ctypes.c_void_p
+            lib.spn_pfp_parse.argtypes = [p_u8, c_i64, ctypes.c_int,
+                                          ctypes.c_int]
+            for name in ("spn_parse_num_phrases", "spn_parse_len",
+                         "spn_parse_dict_bytes"):
+                fn = getattr(lib, name)
+                fn.restype = c_i64
+                fn.argtypes = [ctypes.c_void_p]
+            lib.spn_parse_get_dict.restype = None
+            lib.spn_parse_get_dict.argtypes = [ctypes.c_void_p, p_u8]
+            lib.spn_parse_get_offsets.restype = None
+            lib.spn_parse_get_offsets.argtypes = [ctypes.c_void_p, p_i64,
+                                                  p_i64, p_i64]
+            lib.spn_parse_get_parse.restype = None
+            lib.spn_parse_get_parse.argtypes = [ctypes.c_void_p, p_i32]
+            lib.spn_parse_free.restype = None
+            lib.spn_parse_free.argtypes = [ctypes.c_void_p]
             _lib = lib
     return _lib
 
@@ -149,6 +167,74 @@ def build_raw_index(text: np.ndarray) -> RawIndex:
         lib.spn_free(h)
     return RawIndex(n, run_heads, run_starts, thresholds,
                     samples_start, samples_last)
+
+
+class PfpParse:
+    """Prefix-free parse of a text: sorted dictionary + 1-based lex-rank
+    parse, the file contract of Big-BWT's newscan.x (SURVEY.md §2.3).
+
+    dict_concat follows the reference's on-disk .dict format: phrases in lex
+    order, EndOfWord=1 after each, EndOfDict=0 at the end
+    (/root/reference/include/common.hpp:54-56)."""
+
+    def __init__(self, dict_concat, dict_off, dict_len, occ, parse, w, mod):
+        self.dict_concat = dict_concat
+        self.dict_off = dict_off
+        self.dict_len = dict_len
+        self.occ = occ
+        self.parse = parse
+        self.w = w
+        self.mod = mod
+
+    @property
+    def num_phrases(self) -> int:
+        return len(self.dict_off)
+
+    def phrase(self, rank: int) -> bytes:
+        o, l = int(self.dict_off[rank]), int(self.dict_len[rank])
+        return self.dict_concat[o:o + l].tobytes()
+
+    def reconstruct(self) -> bytes:
+        """Inverse of the parsing: Dollar ++ text ++ Dollar^w."""
+        parts = [self.phrase(self.parse[0] - 1)]
+        for pid in self.parse[1:]:
+            parts.append(self.phrase(int(pid) - 1)[self.w:])
+        return b"".join(parts)
+
+    def save(self, prefix: str) -> None:
+        """Writes <prefix>.parse (4-byte ids) and <prefix>.dict, the formats
+        Big-BWT emits and the reference's build consumes
+        (/root/reference/src/spumoni.cpp:442-472)."""
+        self.parse.astype(np.int32).tofile(prefix + ".parse")
+        self.dict_concat.tofile(prefix + ".dict")
+        self.occ.astype(np.int32).tofile(prefix + ".occ")
+
+
+def pfp_parse(text: np.ndarray, w: int = 10, mod: int = 100) -> PfpParse:
+    """Prefix-free parsing of `text` (uint8; bytes must be >= 3, the PFP
+    special range) with window w and modulus `mod` — the defaults of
+    /root/reference/include/spumoni_main.hpp:139-140."""
+    text = np.ascontiguousarray(text, dtype=np.uint8)
+    lib = get_lib()
+    h = lib.spn_pfp_parse(_p_u8(text), len(text), int(w), int(mod))
+    if not h:
+        raise ValueError("pfp_parse failed")
+    try:
+        d = lib.spn_parse_num_phrases(h)
+        k = lib.spn_parse_len(h)
+        db = lib.spn_parse_dict_bytes(h)
+        dict_concat = np.empty(db, dtype=np.uint8)
+        off = np.empty(d, dtype=np.int64)
+        ln = np.empty(d, dtype=np.int64)
+        occ = np.empty(d, dtype=np.int64)
+        parse = np.empty(k, dtype=np.int32)
+        lib.spn_parse_get_dict(h, _p_u8(dict_concat))
+        lib.spn_parse_get_offsets(h, _p_i64(off), _p_i64(ln), _p_i64(occ))
+        lib.spn_parse_get_parse(
+            h, parse.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    finally:
+        lib.spn_parse_free(h)
+    return PfpParse(dict_concat, off, ln, occ, parse, w, mod)
 
 
 class NativeQueryEngine:

@@ -1,0 +1,65 @@
+"""Prefix-free parsing (native newscan.x equivalent, SURVEY.md §2.3)."""
+
+import numpy as np
+import pytest
+
+from spumoni_tpu.native import pfp_parse
+
+from conftest import rand_dna
+
+
+def test_pfp_roundtrip_and_invariants(rng):
+    for n in (200, 5000, 60000):
+        text = np.frombuffer(rand_dna(rng, n), np.uint8)
+        p = pfp_parse(text, w=10, mod=100)
+
+        # reconstruction: Dollar ++ text ++ Dollar^w
+        rec = np.frombuffer(p.reconstruct(), np.uint8)
+        assert rec[0] == 2 and np.all(rec[-p.w:] == 2)
+        assert np.array_equal(rec[1:-p.w], text)
+
+        # dictionary is lex-sorted and deduplicated
+        phrases = [p.phrase(i) for i in range(p.num_phrases)]
+        assert phrases == sorted(phrases)
+        assert len(set(phrases)) == len(phrases)
+
+        # consecutive phrases overlap by exactly the w-char trigger window
+        prev = p.phrase(p.parse[0] - 1)
+        for pid in p.parse[1:]:
+            cur = p.phrase(int(pid) - 1)
+            assert prev[-p.w:] == cur[:p.w]
+            assert len(cur) > p.w
+            prev = cur
+
+        # occurrence counts match the parse
+        counts = np.bincount(p.parse - 1, minlength=p.num_phrases)
+        assert np.array_equal(counts, p.occ)
+
+        # .dict format: EndOfWord=1 separators, EndOfDict=0 terminator
+        # (common.hpp:54-56)
+        assert p.dict_concat[-1] == 0
+        seps = np.nonzero(p.dict_concat == 1)[0]
+        assert len(seps) == p.num_phrases
+
+
+def test_pfp_parse_is_much_shorter_than_text(rng):
+    text = np.frombuffer(rand_dna(rng, 200_000), np.uint8)
+    p = pfp_parse(text, w=10, mod=100)
+    # expected phrase length ~ mod; parse should compress the scan ~50-200x
+    assert len(p.parse) < len(text) // 20
+    # identical halves share dictionary phrases
+    text2 = np.concatenate([text, text])
+    p2 = pfp_parse(text2, w=10, mod=100)
+    assert p2.num_phrases < 2 * p.num_phrases
+
+
+def test_pfp_save_formats(rng, tmp_path):
+    text = np.frombuffer(rand_dna(rng, 3000), np.uint8)
+    p = pfp_parse(text)
+    prefix = str(tmp_path / "ref.fa")
+    p.save(prefix)
+    parse = np.fromfile(prefix + ".parse", dtype=np.int32)
+    assert np.array_equal(parse, p.parse)
+    assert parse.min() >= 1 and parse.max() <= p.num_phrases
+    d = np.fromfile(prefix + ".dict", dtype=np.uint8)
+    assert np.array_equal(d, p.dict_concat)
