@@ -27,12 +27,14 @@
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
+#include <cstdio>
 #include <vector>
 #include <algorithm>
 #include <thread>
 #include <atomic>
 #include <functional>
 #include <string>
+#include <string_view>
 #include <unordered_map>
 
 typedef int64_t i64;
@@ -175,6 +177,7 @@ struct SpnIndex {
                                      //     first run of each character)
     std::vector<i64> samples_start;  // [r] raw SA value at run start
     std::vector<i64> samples_last;   // [r] raw SA value at run end
+    std::vector<i64> lcp_dbg;        // SPN_DEBUG_LCP=1: streamed LCP values
 };
 
 template <typename idx_t>
@@ -287,6 +290,10 @@ void spn_get_samples_last(SpnIndex* idx, i64* out) {
     std::memcpy(out, idx->samples_last.data(), idx->r * sizeof(i64));
 }
 void spn_free(SpnIndex* idx) { delete idx; }
+void spn_get_lcp_dbg(SpnIndex* idx, i64* out) {
+    std::memcpy(out, idx->lcp_dbg.data(), idx->lcp_dbg.size() * sizeof(i64));
+}
+i64 spn_lcp_dbg_len(SpnIndex* idx) { return (i64)idx->lcp_dbg.size(); }
 
 }  // extern "C" (reopened below)
 
@@ -319,10 +326,11 @@ struct SpnParse {
 
 static const u64 KR_PRIME = 1999999973ULL;  // Big-BWT's published KR modulus
 
-extern "C" {
-
-SpnParse* spn_pfp_parse(const u8* text, i64 n, int w, int mod) {
-    // virtual scan string S = Dollar ++ text ++ Dollar^w (never materialized)
+// Single scan of the virtual string S = Dollar ++ text ++ Dollar^w: phrase
+// boundaries at Karp-Rabin trigger windows; phrases/parse in first-seen order.
+static void pfp_scan(const u8* text, i64 n, int w, int mod,
+                     std::vector<std::string>& phrases,
+                     std::vector<i32>& parse_tmp) {
     i64 ns = n + 1 + w;
     auto at = [&](i64 i) -> u8 {
         return (i == 0 || i > n) ? (u8)2 : text[i - 1];
@@ -331,10 +339,7 @@ SpnParse* spn_pfp_parse(const u8* text, i64 n, int w, int mod) {
     u64 bw = 1;
     for (int i = 0; i < w - 1; ++i) bw = (bw * 256) % KR_PRIME;
 
-    // pass 1: phrase boundaries; phrases keyed by content hash into a map
     std::unordered_map<std::string, i32> ids;
-    std::vector<std::string> phrases;          // in first-seen order
-    std::vector<i32> parse_tmp;                // first-seen ids
     std::string cur;
     cur.push_back(at(0));
     u64 h = 0;
@@ -376,6 +381,14 @@ SpnParse* spn_pfp_parse(const u8* text, i64 n, int w, int mod) {
             }
         }
     }
+}
+
+extern "C" {
+
+SpnParse* spn_pfp_parse(const u8* text, i64 n, int w, int mod) {
+    std::vector<std::string> phrases;          // in first-seen order
+    std::vector<i32> parse_tmp;                // first-seen ids
+    pfp_scan(text, n, w, mod, phrases, parse_tmp);
 
     // lex-sort the dictionary; remap parse ids to 1-based lex ranks
     SpnParse* p = new SpnParse();
@@ -423,6 +436,351 @@ void spn_parse_get_parse(SpnParse* p, i32* out) {
     std::memcpy(out, p->parse.data(), p->parse.size() * sizeof(i32));
 }
 void spn_parse_free(SpnParse* p) { delete p; }
+
+}  // extern "C" (reopened below)
+
+// ---------------------------------------------------------------------------
+// PFP-based index construction — the functional equivalent of pfp_thresholds
+// (/root/reference/src/spumoni.cpp:524-545 runs it as a subprocess), built on
+// the parser above. Produces RLBWT runs + thresholds + run-boundary SA
+// samples IDENTICAL to spn_build()'s SA-IS path, in O(parse + dict) working
+// memory instead of O(n) suffix-array memory — the route to references past
+// the in-memory SA-IS budget (GRCh38 + revcomp scale).
+//
+// Theory (Boucher et al., "Prefix-free parsing for building big BWTs"):
+//  * Every text suffix factors as (phrase suffix alpha, |alpha| > w) ++
+//    (continuation C_{j+1} = body expansion of the following parse suffix),
+//    where body = phrase[w:].
+//  * The set of phrase suffixes of length > w is PREFIX-FREE (each contains
+//    exactly one trigger occurrence, at its end), so text suffix order is:
+//    alpha order first (from the dictionary's generalized SA), ties broken
+//    by continuation order.
+//  * Bodies are prefix-free too, so continuations compare exactly as parse
+//    suffixes over body-deduplicated symbol ranks: the SA of the parse
+//    (pfp_scan output) gives every tie-break rank (ISA_P[j+1]).
+//  * LCPs stream along: between alpha-classes from the dictionary LCP;
+//    within a class, |alpha| + (chars of the common phrase-prefix, via a
+//    range-min over the parse LCP) + (body LCP of the first differing
+//    phrases). Thresholds then fall out of per-character leftmost-argmin
+//    trackers over the streamed LCP (same convention as spn_build).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct RMQ {  // sparse-table range minimum, O(1) query over [l, r] inclusive
+    std::vector<std::vector<i64>> tbl;
+    std::vector<i32> lg;
+    void build(std::vector<i64> a) {
+        i64 m = (i64)a.size();
+        lg.assign(m + 1, 0);
+        for (i64 i = 2; i <= m; ++i) lg[i] = lg[i / 2] + 1;
+        tbl.assign(lg[m] + 1, {});
+        tbl[0] = std::move(a);
+        for (int j = 1; (1LL << j) <= m; ++j) {
+            tbl[j].resize(m - (1LL << j) + 1);
+            for (i64 i = 0; i + (1LL << j) <= m; ++i)
+                tbl[j][i] = std::min(tbl[j - 1][i],
+                                     tbl[j - 1][i + (1LL << (j - 1))]);
+        }
+    }
+    i64 min(i64 l, i64 r) const {
+        int j = lg[r - l + 1];
+        return std::min(tbl[j][l], tbl[j][r - (1LL << j) + 1]);
+    }
+};
+
+template <typename T>
+void kasai_lcp(const T* s, const i64* sa, i64 m, std::vector<i64>& lcp) {
+    lcp.assign(m, 0);
+    std::vector<i64> rank(m);
+    for (i64 i = 0; i < m; ++i) rank[sa[i]] = i;
+    i64 h = 0;
+    for (i64 i = 0; i < m; ++i) {
+        if (rank[i] > 0) {
+            i64 j = sa[rank[i] - 1];
+            while (i + h < m && j + h < m && s[i + h] == s[j + h]) ++h;
+            lcp[rank[i]] = h;
+            if (h > 0) --h;
+        } else {
+            h = 0;
+        }
+    }
+}
+
+// Streaming run/threshold/sample accumulator: consumes (bwt char, SA value,
+// LCP vs previous suffix) in lex order, reproducing spn_build's run loop and
+// leftmost-argmin threshold convention exactly.
+struct RunAccumulator {
+    SpnIndex* idx;
+    std::vector<i64>* lcp_dbg = nullptr;  // SPN_DEBUG_LCP: emitted LCP stream
+    i64 ec = 0;          // emission counter = BWT position
+    int last_char = -1;
+    i64 last_end[256];
+    i64 best_val[256], best_pos[256];
+    bool has_closed[256];
+    std::vector<u8> seen;  // chars with at least one closed run
+
+    explicit RunAccumulator(SpnIndex* out) : idx(out) {
+        for (int c = 0; c < 256; ++c) has_closed[c] = false;
+    }
+    void emit(u8 c, i64 sa, i64 lcp) {
+        if (lcp_dbg) lcp_dbg->push_back(lcp);
+        if (ec > 0) {
+            if (c != (int)last_char) {
+                // the last_char run closes at ec-1; its tracker restarts now
+                if (!has_closed[last_char]) {
+                    has_closed[last_char] = true;
+                    seen.push_back((u8)last_char);
+                }
+                last_end[last_char] = ec - 1;
+            }
+            for (u8 cc : seen) {
+                if (ec == last_end[cc] + 1) {
+                    best_val[cc] = lcp; best_pos[cc] = ec;
+                } else if (lcp < best_val[cc]) {
+                    best_val[cc] = lcp; best_pos[cc] = ec;
+                }
+            }
+        }
+        if ((int)c != last_char) {
+            idx->run_heads.push_back(c);
+            idx->run_starts.push_back(ec);
+            idx->samples_start.push_back(sa);
+            idx->samples_last.push_back(sa);
+            idx->thresholds.push_back(has_closed[c] ? best_pos[c] : 0);
+        } else {
+            idx->samples_last.back() = sa;
+        }
+        last_char = c;
+        ++ec;
+    }
+};
+
+}  // namespace
+
+static SpnIndex* spn_build_pfp_core(const u8* text, i64 n_text, int w,
+                                    int mod) {
+    std::vector<std::string> phrases;  // first-seen order
+    std::vector<i32> parse;            // [k] first-seen ids
+    pfp_scan(text, n_text, w, mod, phrases, parse);
+    const i64 d = (i64)phrases.size();
+    const i64 k = (i64)parse.size();
+
+    // body ranks, DEDUPLICATED: equal bodies (same phrase minus its leading
+    // trigger) must get EQUAL parse symbols or continuation comparisons break
+    std::vector<i32> by_body(d);
+    for (i64 i = 0; i < d; ++i) by_body[i] = (i32)i;
+    auto body_of = [&](i32 id) {
+        return std::string_view(phrases[id]).substr((size_t)w);
+    };
+    std::sort(by_body.begin(), by_body.end(), [&](i32 a, i32 b) {
+        return body_of(a) < body_of(b);
+    });
+    std::vector<i64> brank(d);          // first-seen id -> dedup body rank
+    std::vector<i32> body_rep;          // body rank -> representative id
+    for (i64 i = 0; i < d; ++i) {
+        if (i == 0 || body_of(by_body[i]) != body_of(by_body[i - 1]))
+            body_rep.push_back(by_body[i]);
+        brank[by_body[i]] = (i64)body_rep.size() - 1;
+    }
+    const i64 du = (i64)body_rep.size();
+
+    // parse over body symbols, 1-based, 0-terminated; SA/ISA/LCP of it
+    std::vector<i64> P(k + 1);
+    for (i64 j = 0; j < k; ++j) P[j] = brank[parse[j]] + 1;
+    P[k] = 0;
+    std::vector<i64> SAP(k + 1), ISAP(k + 1), LCPP;
+    sais_rec<i64, i64>(P.data(), SAP.data(), k + 1, du + 2);
+    for (i64 t = 0; t <= k; ++t) ISAP[SAP[t]] = t;
+    kasai_lcp<i64>(P.data(), SAP.data(), k + 1, LCPP);
+    RMQ rmq_p; rmq_p.build(LCPP);
+
+    // S-position of each phrase occurrence start; s[k]+w == |S|
+    std::vector<i64> s(k + 1);
+    s[0] = 0;
+    for (i64 j = 0; j < k; ++j)
+        s[j + 1] = s[j] + (i64)phrases[parse[j]].size() - w;
+
+    // body LCP between adjacent UNIQUE bodies + RMQ -> bodyLCP(rank x, rank y)
+    std::vector<i64> LCPB(du, 0);
+    for (i64 i = 1; i < du; ++i) {
+        auto a = body_of(body_rep[i - 1]), b = body_of(body_rep[i]);
+        size_t h = 0, m = std::min(a.size(), b.size());
+        while (h < m && a[h] == b[h]) ++h;
+        LCPB[i] = (i64)h;
+    }
+    RMQ rmq_b; rmq_b.build(LCPB);
+    auto body_lcp = [&](i64 px, i64 py) -> i64 {  // px, py are P[] symbols
+        if (px == 0 || py == 0) return 0;
+        if (px == py) return (i64)body_of(body_rep[px - 1]).size();
+        i64 lo = std::min(px, py), hi = std::max(px, py);
+        return rmq_b.min(lo, hi - 1);  // LCPB[i] = lcp(body i-1, body i)
+    };
+
+    // char-level LCP of the continuations of parse suffixes m1, m2 whose
+    // ISA ranks are t1 < t2 (continuation of occurrence j = parse suffix j+1)
+    auto cont_lcp = [&](i64 t1, i64 t2) -> i64 {
+        i64 lp = rmq_p.min(t1 + 1, t2);            // common phrases
+        i64 m1 = SAP[t1], m2 = SAP[t2];
+        i64 chars = s[m1 + lp] - s[m1];
+        if (m1 + lp <= k && m2 + lp <= k)
+            chars += body_lcp(P[m1 + lp], P[m2 + lp]);
+        return chars;
+    };
+
+    // occurrence lists per phrase, ordered by continuation rank ISA_P[j+1]:
+    // scan SA_P; parse suffix m >= 1 is the continuation of occurrence m-1
+    std::vector<i64> ilist_off(d + 1, 0), ilist(k);
+    {
+        std::vector<i64> cnt(d, 0);
+        for (i64 j = 0; j < k; ++j) cnt[parse[j]]++;
+        for (i64 i = 0; i < d; ++i) ilist_off[i + 1] = ilist_off[i] + cnt[i];
+        std::vector<i64> fill = ilist_off;
+        for (i64 t = 0; t <= k; ++t) {
+            i64 m = SAP[t];
+            if (m >= 1) ilist[fill[parse[m - 1]]++] = m - 1;
+        }
+    }
+
+    // generalized SA over the dictionary (phrases ++ 0x01, final 0x00)
+    std::vector<u8> D;
+    std::vector<i64> dstart(d);
+    std::vector<i32> downer;
+    for (i64 i = 0; i < d; ++i) {
+        dstart[i] = (i64)D.size();
+        D.insert(D.end(), phrases[i].begin(), phrases[i].end());
+        D.push_back(1);
+        downer.resize(D.size(), (i32)i);
+    }
+    D.push_back(0);
+    downer.push_back(-1);
+    const i64 nd = (i64)D.size();
+    std::vector<i64> SAD(nd), LCPD;
+    sais_rec<u8, i64>(D.data(), SAD.data(), nd, 256);
+    kasai_lcp<u8>(D.data(), SAD.data(), nd, LCPD);
+
+    SpnIndex* idx = new SpnIndex();
+    idx->n = n_text + 1;
+    RunAccumulator acc(idx);
+    if (std::getenv("SPN_DEBUG_LCP")) acc.lcp_dbg = &idx->lcp_dbg;
+    auto coerce = [](u8 c) -> u8 { return c <= 2 ? (u8)1 : c; };
+
+    // 1) the terminator suffix of T ++ [0]: BWT char = last char of T
+    {
+        const std::string& last_ph = phrases[parse[k - 1]];
+        u8 ch = (u8)last_ph[last_ph.size() - w - 1];
+        acc.emit(coerce(ch), n_text, 0);
+    }
+
+    // 2) alpha-classes in dictionary-suffix order
+    struct Member { i32 a; i64 o; };
+    std::vector<Member> members;
+    const i64 INF = (i64)1 << 62;
+    i64 cls_len = -1;          // |alpha| of the open class
+    i64 pending = 0;           // min LCP_D since the last ACCEPTED suffix
+    i64 boundary = 0;          // class-boundary LCP for the open class
+    i64 empty_carry = INF;     // boundary min carried over non-emitting
+                               // classes (the skipped leading-Dollar suffix)
+    i64 prev_rank = -1;        // continuation rank of the last emission
+
+    std::vector<i64> ptr_s, end_s;  // flush scratch (avoid per-class allocs)
+    auto flush = [&]() {
+        if (members.empty()) return;
+        // merge members' occurrence lists by continuation rank
+        size_t nm = members.size();
+        ptr_s.resize(nm); end_s.resize(nm);
+        i64* ptr = ptr_s.data(); i64* end = end_s.data();
+        for (size_t x = 0; x < nm; ++x) {
+            ptr[x] = ilist_off[members[x].a];
+            end[x] = ilist_off[members[x].a + 1];
+        }
+        bool first = true;
+        while (true) {
+            int best = -1;
+            if (nm == 1) {
+                if (ptr[0] < end[0]) best = 0;
+            } else {
+                i64 best_rank = 0;
+                for (size_t x = 0; x < nm; ++x) {
+                    if (ptr[x] < end[x]) {
+                        i64 j = ilist[ptr[x]];
+                        i64 rk = ISAP[j + 1];
+                        if (best < 0 || rk < best_rank) {
+                            best = (int)x; best_rank = rk;
+                        }
+                    }
+                }
+            }
+            if (best < 0) break;
+            i64 j = ilist[ptr[best]++];
+            const Member& mb = members[best];
+            i64 i_S = s[j] + mb.o;
+            if (i_S == 0) continue;  // leading-Dollar suffix: not a T suffix
+            u8 ch;
+            if (mb.o > 0) {
+                ch = (u8)phrases[mb.a][mb.o - 1];
+            } else {
+                const std::string& pv = phrases[parse[j - 1]];
+                ch = (u8)pv[pv.size() - w - 1];
+            }
+            i64 lcp;
+            if (first) {
+                lcp = boundary;
+            } else {
+                lcp = cls_len + cont_lcp(prev_rank, ISAP[j + 1]);
+            }
+            acc.emit(coerce(ch), i_S - 1, lcp);
+            prev_rank = ISAP[j + 1];
+            first = false;
+        }
+        if (first && !members.empty()) {
+            // class emitted nothing: its boundary joins the LCP min-chain
+            // between the surrounding emitting classes
+            empty_carry = std::min(empty_carry, boundary);
+        } else if (!first) {
+            empty_carry = INF;
+        }
+        members.clear();
+    };
+
+    for (i64 t = 1; t < nd; ++t) {
+        pending = std::min(pending, LCPD[t]);
+        i64 q = SAD[t];
+        i32 a = downer[q];
+        if (a < 0) continue;
+        i64 o = q - dstart[a];
+        i64 plen = (i64)phrases[a].size();
+        if (o >= plen) continue;          // separator position
+        i64 l = plen - o;
+        if (l <= w) continue;             // shorter than a trigger: skip
+        bool same = !members.empty() && l == cls_len && pending >= l;
+        if (!same) {
+            i64 b = pending;
+            flush();  // may set empty_carry from the closed class
+            boundary = std::min(std::min(b, empty_carry), l);
+            cls_len = l;
+        }
+        members.push_back({a, o});
+        pending = INF;  // measure the next LCP gap from this suffix
+    }
+    flush();
+
+    idx->r = (i64)idx->run_heads.size();
+    if (acc.ec != idx->n) { delete idx; return nullptr; }  // coverage check
+    return idx;
+}
+
+extern "C" {
+
+// PFP-based build (pfp_thresholds equivalent): same outputs as spn_build,
+// O(parse + dict) working memory. Text bytes must be >= 3 (0/1/2 are the
+// PFP specials EndOfDict/EndOfWord/Dollar, common.hpp:54-56).
+SpnIndex* spn_build_pfp(const u8* text, i64 text_len, int w, int mod) {
+    if (text_len <= w) return nullptr;
+    for (i64 i = 0; i < text_len; ++i)
+        if (text[i] <= 2) return nullptr;
+    return spn_build_pfp_core(text, text_len, w, mod);
+}
 
 }  // extern "C" (reopened below)
 

@@ -100,6 +100,13 @@ def get_lib() -> ctypes.CDLL:
             lib.spn_parse_get_parse.argtypes = [ctypes.c_void_p, p_i32]
             lib.spn_parse_free.restype = None
             lib.spn_parse_free.argtypes = [ctypes.c_void_p]
+            lib.spn_build_pfp.restype = ctypes.c_void_p
+            lib.spn_build_pfp.argtypes = [p_u8, c_i64, ctypes.c_int,
+                                          ctypes.c_int]
+            lib.spn_lcp_dbg_len.restype = c_i64
+            lib.spn_lcp_dbg_len.argtypes = [ctypes.c_void_p]
+            lib.spn_get_lcp_dbg.restype = None
+            lib.spn_get_lcp_dbg.argtypes = [ctypes.c_void_p, p_i64]
             _lib = lib
     return _lib
 
@@ -142,11 +149,32 @@ class RawIndex:
         self.samples_last = samples_last
 
 
-def build_raw_index(text: np.ndarray) -> RawIndex:
-    """Builds the RLBWT + thresholds + SA samples for `text` (uint8, no 0/1 bytes)."""
+# Above roughly this text length, in-memory SA-IS construction (~13 B/char
+# peak on the 32-bit path, ~26 B/char past 2^31) stops being the right tool;
+# the PFP path builds identical output in O(parse + dict) working memory.
+PFP_AUTO_THRESHOLD = 800_000_000
+
+
+def build_raw_index(text: np.ndarray, method: str = "auto",
+                    w: int = 10, mod: int = 100) -> RawIndex:
+    """Builds the RLBWT + thresholds + SA samples for `text` (uint8, no 0/1
+    bytes).
+
+    method: 'sais' (in-memory suffix array), 'pfp' (prefix-free-parsing
+    induction, O(parse+dict) memory, requires text bytes >= 3), or 'auto'
+    (pfp above PFP_AUTO_THRESHOLD when the byte range allows)."""
     text = np.ascontiguousarray(text, dtype=np.uint8)
     lib = get_lib()
-    h = lib.spn_build(_p_u8(text), len(text))
+    if method == "auto":
+        method = ("pfp" if len(text) > PFP_AUTO_THRESHOLD
+                  and len(text) > 0 and int(text.min()) >= 3 else "sais")
+    if method == "pfp":
+        h = lib.spn_build_pfp(_p_u8(text), len(text), int(w), int(mod))
+        if not h:
+            raise ValueError("pfp build requires text bytes >= 3 and "
+                             "len(text) > w")
+    else:
+        h = lib.spn_build(_p_u8(text), len(text))
     if not h:
         raise ValueError("text must not contain bytes <= 1 "
                          "(reserved for the BWT terminator)")

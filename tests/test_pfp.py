@@ -1,11 +1,65 @@
-"""Prefix-free parsing (native newscan.x equivalent, SURVEY.md §2.3)."""
+"""Prefix-free parsing + PFP-based index construction (the native
+newscan.x / pfp_thresholds equivalents, SURVEY.md §2.3)."""
 
 import numpy as np
 import pytest
 
-from spumoni_tpu.native import pfp_parse
+from spumoni_tpu.native import build_raw_index, pfp_parse
 
 from conftest import rand_dna
+
+
+def _assert_same_index(a, b):
+    assert a.n == b.n and a.r == b.r
+    assert np.array_equal(a.run_heads, b.run_heads)
+    assert np.array_equal(a.run_starts, b.run_starts)
+    assert np.array_equal(a.thresholds, b.thresholds)
+    assert np.array_equal(a.samples_start, b.samples_start)
+    assert np.array_equal(a.samples_last, b.samples_last)
+
+
+def test_pfp_build_matches_sais_random(rng):
+    for n in (50, 333, 2048, 20000):
+        for mod in (20, 100):
+            text = np.frombuffer(rand_dna(rng, n), np.uint8)
+            sais = build_raw_index(text, method="sais")
+            pfp = build_raw_index(text, method="pfp", w=10, mod=mod)
+            _assert_same_index(sais, pfp)
+
+
+def test_pfp_build_matches_sais_repetitive(rng):
+    # highly repetitive text: many multi-member alpha classes, long runs,
+    # full-phrase suffixes with varying preceding characters
+    base = np.frombuffer(rand_dna(rng, 4000), np.uint8)
+    copies = [base]
+    for _ in range(4):
+        c = base.copy()
+        mut = rng.random(len(c)) < 0.01
+        c[mut] = np.frombuffer(b"ACGT", np.uint8)[
+            rng.integers(0, 4, int(mut.sum()))]
+        copies.append(c)
+    text = np.concatenate(copies)
+    _assert_same_index(build_raw_index(text, method="sais"),
+                       build_raw_index(text, method="pfp"))
+    # pure tandem repeat (equal bodies after different triggers)
+    text2 = np.tile(np.frombuffer(rand_dna(rng, 500), np.uint8), 30)
+    _assert_same_index(build_raw_index(text2, method="sais"),
+                       build_raw_index(text2, method="pfp"))
+
+
+def test_pfp_build_small_windows(rng):
+    # small w stresses trigger-overlap edge cases (phrases of length w+1)
+    for w in (2, 4):
+        for n in (40, 1000):
+            text = np.frombuffer(rand_dna(rng, n), np.uint8)
+            _assert_same_index(
+                build_raw_index(text, method="sais"),
+                build_raw_index(text, method="pfp", w=w, mod=7))
+
+
+def test_pfp_build_rejects_special_bytes():
+    with pytest.raises(ValueError):
+        build_raw_index(np.full(100, 2, np.uint8), method="pfp")
 
 
 def test_pfp_roundtrip_and_invariants(rng):
