@@ -74,6 +74,10 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="CPU threads (device=cpu)")
     r.add_argument("--device", choices=["tpu", "cpu"], default="tpu",
                    help="query engine backend (default: tpu)")
+    r.add_argument("--engine", choices=["auto", "layered", "occ"],
+                   default="auto",
+                   help="TPU kernel layout: layered v2 (default on v5e) or "
+                        "occ-block v3 (one gather/step)")
     r.add_argument("--batch-bases", dest="batch_bases", type=int,
                    default=4_000_000, help="bases per device batch")
     r.add_argument("--ks-report", dest="ks_report", action="store_true",

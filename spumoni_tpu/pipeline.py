@@ -285,6 +285,10 @@ class RunConfig:
     ks_report: bool = False   # classify via windowed KS test instead of
                               # bin-max (the reference's build-time-live path,
                               # ks_test.cpp + compute_ms_pml.cpp:942-967)
+    engine: str = "auto"      # 'auto' | 'layered' (v2) | 'occ' (v3):
+                              # v2 (3 grouped gathers/step) measures fastest
+                              # on v5e; v3 (1 gather/step) is kept for parts
+                              # with stronger vector units (occblock.py)
 
     @property
     def mode(self) -> str:
@@ -350,9 +354,16 @@ def _make_engine(cfg: RunConfig, dense: DenseIndex):
                 return out
         return _CpuWrapper()
 
-    from .engine.layered import build_layered
     from .engine.scan_engine import ScanEngine
-    arrays, meta, host = build_layered(dense)
+    if cfg.engine == "occ":
+        from .engine import occblock
+        if not occblock.eligible(dense):
+            raise ValueError("occ engine needs sigma <= 15 and n under the "
+                             "gather row-count cliff (use engine=layered)")
+        arrays, meta, host = occblock.build_occblock(dense)
+    else:
+        from .engine.layered import build_layered
+        arrays, meta, host = build_layered(dense)
     return ScanEngine(arrays, meta, mode=cfg.mode, use_doc=cfg.use_doc, host=host)
 
 

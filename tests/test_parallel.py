@@ -154,3 +154,33 @@ def test_sharded_classify_only_fused(rng, make_reads):
         assert h.bins_below == out["below"][i], i
         n_found += h.status == "FOUND"
     assert out["total_found"] == n_found
+
+
+def test_sharded_classifier_occ_engine(rng, make_reads):
+    """The fused classify path over the mesh with occ-block (v3) arrays."""
+    from spumoni_tpu.engine.occblock import build_occblock
+
+    text = rand_dna(rng, 4000)
+    tarr = np.frombuffer(text, np.uint8)
+    raw = build_raw_index(tarr)
+    dense = build_dense_index(raw)
+    arrays, meta, host = build_occblock(dense)
+    native = NativeQueryEngine(raw.n, raw.run_heads, raw.run_starts,
+                               raw.thresholds, raw.samples_start,
+                               raw.samples_last)
+
+    mesh = make_data_mesh()
+    clf = ShardedPmlClassifier(arrays, meta, mesh, bin_width=150,
+                               max_value_thr=5, host=host)
+    reads = [mutated_substring(rng, text, 400, err=0.05) for _ in range(9)]
+    reads += [rand_dna(rng, 400) for _ in range(10)]
+    ref_lengths = native.query_pml(reads)
+
+    for want_values in (False, True):
+        out = clf.classify(reads, want_values=want_values)
+        for i in range(len(reads)):
+            host_cls = binmax.classify(ref_lengths[i], 150, 5)
+            assert (host_cls.status == "FOUND") == bool(out["found"][i]), i
+            assert host_cls.bins_above == out["above"][i]
+            if want_values:
+                assert np.array_equal(out["lengths"][i], ref_lengths[i]), i

@@ -117,17 +117,21 @@ def test_tpu_cpu_engine_agreement(workdir):
     build(cfg)
     for mode in ("pml", "ms"):
         outs = {}
-        for device in ("cpu", "tpu"):  # 'tpu' resolves to host CPU devices here
+        # 'tpu' resolves to host CPU devices here; 'occ' = engine v3
+        for key, device, engine in (("cpu", "cpu", "auto"),
+                                    ("tpu", "tpu", "auto"),
+                                    ("occ", "tpu", "occ")):
             rcfg = RunConfig(ref_file=str(tmp / "idx"),
                              pattern_file=reads_path,
                              pml_requested=mode == "pml",
                              ms_requested=mode == "ms",
-                             min_digest=False, device=device)
+                             min_digest=False, device=device, engine=engine)
             run(rcfg)
             suffix = ".pseudo_lengths" if mode == "pml" else ".lengths"
-            outs[device] = _parse_values_file(reads_path + suffix)
+            outs[key] = _parse_values_file(reads_path + suffix)
         for rid in outs["cpu"]:
             assert np.array_equal(outs["cpu"][rid], outs["tpu"][rid]), rid
+            assert np.array_equal(outs["cpu"][rid], outs["occ"][rid]), rid
 
 
 def test_filelist_doc_array(tmp_path, rng):
