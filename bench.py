@@ -126,19 +126,41 @@ def bench_tpu(raw, text, rng):
 
 
 def bench_cpu(raw, text, rng):
-    from spumoni_tpu.native import NativeQueryEngine
+    """Measured in a CLEAN SUBPROCESS: the JAX/axon runtime keeps background
+    threads busy, which starves an in-process CPU measurement on small hosts
+    (observed 3.7x underreporting on a 2-core host) and would inflate
+    vs_baseline. The subprocess never imports jax."""
+    import subprocess
 
-    eng = NativeQueryEngine(raw.n, raw.run_heads, raw.run_starts,
-                            raw.thresholds, raw.samples_start,
-                            raw.samples_last)
     n_reads = 256
-    reads = [r.tobytes() for r in make_reads(rng, text, n_reads, L)]
-    threads = os.cpu_count() or 1
-    eng.query_pml(reads[:16], threads=threads)  # warm
-    t0 = time.time()
-    eng.query_pml(reads, threads=threads)
-    dt = time.time() - t0
-    per_thread = n_reads / dt / threads
+    reads = np.stack([np.frombuffer(r, np.uint8) if isinstance(r, bytes)
+                      else r for r in make_reads(rng, text, n_reads, L)])
+    tmp = os.path.join(CACHE, "cpu_bench_in.npz")
+    np.savez(tmp, reads=reads, n=raw.n, run_heads=raw.run_heads,
+             run_starts=raw.run_starts, thresholds=raw.thresholds,
+             samples_start=raw.samples_start, samples_last=raw.samples_last)
+    code = f"""
+import os, sys, time
+import numpy as np
+sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})
+from spumoni_tpu.native import NativeQueryEngine
+d = np.load({tmp!r})
+eng = NativeQueryEngine(int(d["n"]), d["run_heads"], d["run_starts"],
+                        d["thresholds"], d["samples_start"], d["samples_last"])
+reads = [r.tobytes() for r in d["reads"]]
+threads = os.cpu_count() or 1
+eng.query_pml(reads[:16], threads=threads)
+t0 = time.time()
+eng.query_pml(reads, threads=threads)
+dt = time.time() - t0
+print(len(reads) / dt / threads)
+"""
+    # spumoni_tpu's package __init__ imports jax: force the lightweight CPU
+    # backend in the child so no TPU-tunnel service threads are spawned
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out = subprocess.run([sys.executable, "-c", code], check=True,
+                         capture_output=True, text=True, env=env)
+    per_thread = float(out.stdout.strip().splitlines()[-1])
     return per_thread * BASELINE_THREADS  # linear extrapolation to 32 threads
 
 
