@@ -49,6 +49,11 @@ def _build_parser() -> argparse.ArgumentParser:
     b.add_argument("-k", "--keep", dest="keep_files", action="store_true",
                    help="keep temporary files")
     b.add_argument("-v", "--verbose", action="store_true")
+    b.add_argument("--build-method", dest="build_method",
+                   choices=["auto", "sais", "pfp"], default="auto",
+                   help="native construction path: in-memory SA-IS or "
+                        "prefix-free parsing (identical output; pfp uses "
+                        "O(parse+dict) memory for very large references)")
 
     r = sub.add_parser("run", help="compute MS/PML for reads against an index")
     r.add_argument("-r", "--ref", dest="ref_file", required=True,

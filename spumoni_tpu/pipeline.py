@@ -62,6 +62,7 @@ class BuildConfig:
     w: int = DEFAULT_MIN_W
     bin_size: int = DEFAULT_BIN_SIZE
     verbose: bool = False
+    build_method: str = "auto"  # 'auto' | 'sais' | 'pfp' (native builder path)
 
     def validate(self) -> None:
         if not self.ref_file and not self.input_list:
@@ -136,21 +137,24 @@ def build(cfg: BuildConfig) -> str:
     # ---- index construction (replaces PFP/pfp_thresholds subprocesses) ----
     text = res.text
     # SA-IS is in-memory: ~13 bytes/char peak with 32-bit indexes
-    # (n < 2^31), ~26 beyond. A PFP construction path (Big-BWT equivalent)
-    # is the planned fix for builds beyond this bound.
-    try:
-        avail = os.sysconf("SC_AVPHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
-        need = (13 if len(text) < 2**31 - 2 else 26) * len(text)
-        if need > avail:
-            raise MemoryError(
-                f"index construction needs ~{need / 1e9:.1f} GB "
-                f"({len(text) / 1e6:.0f} Mbp reference) but only "
-                f"{avail / 1e9:.1f} GB RAM is available; split the reference "
-                f"or wait for the PFP construction path")
-    except (ValueError, OSError):
-        pass
+    # (n < 2^31), ~26 beyond. The PFP path (build_method='pfp', auto-selected
+    # for very large texts) needs only O(parse + dict) working memory.
+    if cfg.build_method == "sais" or (
+            cfg.build_method == "auto"
+            and (len(text) == 0 or int(text.min()) < 3)):
+        try:
+            avail = os.sysconf("SC_AVPHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+            need = (13 if len(text) < 2**31 - 2 else 26) * len(text)
+            if need > avail:
+                raise MemoryError(
+                    f"SA-IS construction needs ~{need / 1e9:.1f} GB "
+                    f"({len(text) / 1e6:.0f} Mbp reference) but only "
+                    f"{avail / 1e9:.1f} GB RAM is available; use "
+                    f"--build-method pfp (O(parse+dict) memory)")
+        except (ValueError, OSError):
+            pass
     content_hash = hashlib.sha256(text.tobytes()).hexdigest()[:16]
-    raw = _build_raw_cached(ref_path, text, content_hash)
+    raw = _build_raw_cached(ref_path, text, content_hash, cfg.build_method)
     n, r = raw.n, raw.r
     log("build_main", f"bwt statistics: r = {r}, n = {n}, n/r = {n / r:.3f}")
 
@@ -222,7 +226,8 @@ def build(cfg: BuildConfig) -> str:
     return ref_path
 
 
-def _build_raw_cached(ref_path: str, text: np.ndarray, content_hash: str):
+def _build_raw_cached(ref_path: str, text: np.ndarray, content_hash: str,
+                      method: str = "auto"):
     """Quick-build analog: cache the raw index keyed by the text hash."""
     from .native import RawIndex
     cache = ref_path + ".rawindex.npz"
@@ -233,7 +238,7 @@ def _build_raw_cached(ref_path: str, text: np.ndarray, content_hash: str):
             return RawIndex(int(data["n"]), data["run_heads"],
                             data["run_starts"], data["thresholds"],
                             data["samples_start"], data["samples_last"])
-    raw = build_raw_index(text)
+    raw = build_raw_index(text, method=method)
     np.savez(cache, content_hash=content_hash, n=raw.n,
              run_heads=raw.run_heads, run_starts=raw.run_starts,
              thresholds=raw.thresholds, samples_start=raw.samples_start,
