@@ -28,6 +28,7 @@
 #include <cstring>
 #include <cstdlib>
 #include <cstdio>
+#include <chrono>
 #include <vector>
 #include <algorithm>
 #include <thread>
@@ -560,9 +561,23 @@ struct RunAccumulator {
 
 static SpnIndex* spn_build_pfp_core(const u8* text, i64 n_text, int w,
                                     int mod) {
+    const bool dbg_t = std::getenv("SPN_DEBUG_TIME") != nullptr;
+    auto now = []() {
+        return std::chrono::duration<double>(
+            std::chrono::steady_clock::now().time_since_epoch()).count();
+    };
+    double t0 = now();
+    auto phase = [&](const char* name) {
+        if (dbg_t) {
+            double t = now();
+            fprintf(stderr, "[pfp] %-12s %.2fs\n", name, t - t0);
+            t0 = t;
+        }
+    };
     std::vector<std::string> phrases;  // first-seen order
     std::vector<i32> parse;            // [k] first-seen ids
     pfp_scan(text, n_text, w, mod, phrases, parse);
+    phase("scan");
     const i64 d = (i64)phrases.size();
     const i64 k = (i64)parse.size();
 
@@ -594,6 +609,7 @@ static SpnIndex* spn_build_pfp_core(const u8* text, i64 n_text, int w,
     for (i64 t = 0; t <= k; ++t) ISAP[SAP[t]] = t;
     kasai_lcp<i64>(P.data(), SAP.data(), k + 1, LCPP);
     RMQ rmq_p; rmq_p.build(LCPP);
+    phase("parse-sa");
 
     // S-position of each phrase occurrence start; s[k]+w == |S|
     std::vector<i64> s(k + 1);
@@ -658,6 +674,7 @@ static SpnIndex* spn_build_pfp_core(const u8* text, i64 n_text, int w,
     std::vector<i64> SAD(nd), LCPD;
     sais_rec<u8, i64>(D.data(), SAD.data(), nd, 256);
     kasai_lcp<u8>(D.data(), SAD.data(), nd, LCPD);
+    phase("dict-sa");
 
     SpnIndex* idx = new SpnIndex();
     idx->n = n_text + 1;
@@ -765,6 +782,7 @@ static SpnIndex* spn_build_pfp_core(const u8* text, i64 n_text, int w,
     }
     flush();
 
+    phase("sweep");
     idx->r = (i64)idx->run_heads.size();
     if (acc.ec != idx->n) { delete idx; return nullptr; }  // coverage check
     return idx;
