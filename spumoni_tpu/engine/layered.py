@@ -76,8 +76,11 @@ FIELD_GROUP = 16
 
 def build_layered(idx, want_samples=None, want_doc=None, want_text=None,
                   node: int = DEFAULT_NODE, fuse_root: bool = True,
-                  group: Optional[int] = None):
-    """DenseIndex -> (LayeredArrays on device, LayeredMeta)."""
+                  group: Optional[int] = None, dtype=None):
+    """DenseIndex -> (LayeredArrays on device, LayeredMeta).
+
+    dtype: position type override; defaults to int32 when the BWT fits
+    (int64 past 2^31 — a human genome + revcomp needs it)."""
     if want_samples is None:
         want_samples = idx.c_ssamp is not None
     if want_doc is None:
@@ -86,7 +89,8 @@ def build_layered(idx, want_samples=None, want_doc=None, want_text=None,
         want_text = idx.text is not None
 
     n = int(idx.n)
-    dtype = np.int32 if n < 2**31 - 2 else np.int64
+    if dtype is None:
+        dtype = np.int32 if n < 2**31 - 2 else np.int64
     char_off = np.asarray(idx.char_off, dtype=np.int64)
     runs_per_char = np.diff(char_off)
     max_rc = int(runs_per_char.max()) if idx.r else 1

@@ -65,6 +65,25 @@ def test_layered_grouped_fields_matches_native(rng, make_reads):
         assert np.array_equal(a, b)
 
 
+def test_layered_int64_positions(rng, make_reads):
+    """The int64 dtype path (indexes past 2^31 positions) must be exact —
+    including the 8-bit-plane fused root, which needs more planes."""
+    text, dense, native = _setup(rng, 6000)
+    arrays, meta, host = build_layered(dense, dtype=np.int64)
+    assert meta.dtype == "int64"
+    reads = make_reads(rng, text, num=12, max_len=250)
+    reads.append(b"N" * 64)
+
+    pml = ScanEngine(arrays, meta, mode="pml", host=host).query(reads)
+    for a, b in zip(pml["lengths"], native.query_pml(reads)):
+        assert np.array_equal(a, b)
+
+    ms = ScanEngine(arrays, meta, mode="ms", host=host).query(reads)
+    ptrs, _ = native.query_ms(reads)
+    for a, b in zip(ms["pointers"], ptrs):
+        assert np.array_equal(a, b)
+
+
 def test_layered_doc_matches_native(rng, make_reads):
     text, dense, native = _setup(rng, 5000, with_doc=True)
     arrays, meta, host = build_layered(dense)
