@@ -394,6 +394,34 @@ def _unorder_samples(dense: DenseIndex, field: str):
     return np.where(arr == n - 1, 0, arr + 1)
 
 
+def _prefetched(gen, depth: int = 2):
+    """Runs `gen` in a daemon thread, keeping up to `depth` items ready —
+    host FASTA decode + digestion overlap device compute (SURVEY.md §7.8;
+    the role of the reference's threaded BatchLoader)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    SENTINEL = object()
+
+    def producer():
+        try:
+            for item in gen:
+                q.put(item)
+            q.put(SENTINEL)
+        except BaseException as e:  # surface errors on the consumer side
+            q.put(e)
+
+    threading.Thread(target=producer, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is SENTINEL:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 def run(cfg: RunConfig) -> int:
     """Streams the query file through the engine; writes the output files.
     Returns the number of reads processed."""
@@ -466,8 +494,12 @@ def run(cfg: RunConfig) -> int:
     found_count = 0
     t0 = time.time()
     total_bases = 0
-    for batch in batch_iter(my_records(), cfg.batch_bases):
-        ids, reads = [], []
+
+    def prepare(batch):
+        """Host-side decode + digestion for one batch (runs in the prefetch
+        thread, overlapped with device compute — the BatchLoader role,
+        batch_loader.cpp:26-76)."""
+        ids, reads, bases = [], [], 0
         for rid, seq in batch:
             rd = seq.upper()
             if cfg.min_digest:
@@ -479,7 +511,12 @@ def run(cfg: RunConfig) -> int:
                     f"without minimizer digestion")
             ids.append(rid)
             reads.append(rd)
-            total_bases += len(rd)
+            bases += len(rd)
+        return ids, reads, bases
+
+    for ids, reads, bases in _prefetched(
+            (prepare(b) for b in batch_iter(my_records(), cfg.batch_bases))):
+        total_bases += bases
         out = engine.query(reads)
         for i, rid in enumerate(ids):
             if cfg.use_doc:
