@@ -3,6 +3,11 @@
 
 Chains gathers through a lax.scan carry (mimicking the per-step dependency of
 the lockstep MS/PML recurrence) so successive gathers cannot overlap.
+
+NOTE: on the axon platform `jax.block_until_ready` does NOT actually wait —
+timings must be closed with a (tiny) device->host transfer, which this script
+does via np.asarray on a small slice (see exp_gather2.py for the validation
+that exposed this).
 """
 import sys
 import time
@@ -30,11 +35,10 @@ def bench_gather(rows, width, dtype=np.int32):
         out, _ = jax.lax.scan(step, idx, None, length=STEPS)
         return out
 
-    out = run(table_d, idx0)
-    jax.block_until_ready(out)
+    np.asarray(run(table_d, idx0)[:8])
     t0 = time.time()
     out = run(table_d, idx0)
-    jax.block_until_ready(out)
+    np.asarray(out[:8])   # forced d2h sync (block_until_ready is a no-op here)
     dt = time.time() - t0
     mb = rows * width * np.dtype(dtype).itemsize / 1e6
     print(f"rows={rows:>9,} width={width:>3} ({mb:8.1f} MB): "

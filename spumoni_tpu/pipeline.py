@@ -3,7 +3,8 @@
 
 Differences from the reference by design:
   * no subprocess helper binaries — index construction is the in-process
-    native library (SA-IS + LCP sweep) instead of PFP + pfp_thresholds;
+    native library: SA-IS + LCP sweep, or the prefix-free-parsing induction
+    (--build-method pfp) for references past the SA-IS memory budget;
   * idempotent build stages keyed by a content hash of the generated
     reference (the analog of the reference's 19-temp-file "quick build",
     spumoni.cpp:570-601);
