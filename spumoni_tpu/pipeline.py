@@ -140,9 +140,12 @@ def build(cfg: BuildConfig) -> str:
     # SA-IS is in-memory: ~13 bytes/char peak with 32-bit indexes
     # (n < 2^31), ~26 beyond. The PFP path (build_method='pfp', auto-selected
     # for very large texts) needs only O(parse + dict) working memory.
-    if cfg.build_method == "sais" or (
-            cfg.build_method == "auto"
-            and (len(text) == 0 or int(text.min()) < 3)):
+    from .native import PFP_AUTO_THRESHOLD
+    uses_sais = cfg.build_method == "sais" or (
+        cfg.build_method == "auto"
+        and not (len(text) > PFP_AUTO_THRESHOLD and len(text) > 0
+                 and int(text.min()) >= 3))
+    if uses_sais:
         try:
             avail = os.sysconf("SC_AVPHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
             need = (13 if len(text) < 2**31 - 2 else 26) * len(text)
