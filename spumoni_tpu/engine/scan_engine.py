@@ -195,41 +195,61 @@ def extend_pointers_kernel(text: jnp.ndarray, reads: jnp.ndarray,
     """MS extension: pointers -> lengths by direct text comparison.
 
     Replaces the reference's SLP charAt loop (compute_ms_pml.cpp:802-810) with
-    gathers into the HBM-resident text. reads/ptrs are in natural (unreversed)
-    order, [B, L]; read_lens is [B].
+    a TWO-POINTER lockstep sweep: every while iteration either extends the
+    current match length l by one character or emits position i's length and
+    advances i. Matching statistics are 1-Lipschitz (l_i >= l_{i-1} - 1, and
+    the emitted pointer maximizes the LCP, so the first max(l-1, 0)
+    characters are already known to match at the next pointer) — hence the
+    per-lane total is <= 3L iterations and each iteration is O(1) row-ops,
+    instead of a data-dependent character loop of scalar gathers per scan
+    step (measured 160x slower on v5e).
+
+    reads/ptrs are in natural (unreversed) order, [B, L]; read_lens is [B].
+    ptr < 0 encodes the reference's underflowed unsigned pointers
+    (compute_ms_pml.cpp:582) — always out of bounds for extension.
     """
     B, L = reads.shape
     dt = ptrs.dtype
-    reads_flat = reads.reshape(-1)
-    lane = jnp.arange(B, dtype=dt)
+    lane = jnp.arange(B)
+    # text grouped into <=2^17 rows (see layered.py GATHER_ROW_CLIFF): the
+    # per-character text lookup becomes one row gather + an in-row select
+    tg = 64
+    while nt // tg > (1 << 17):
+        tg *= 2
+    text2d = text.reshape(nt // tg, tg)
+    gsel = jnp.arange(tg, dtype=dt)[None, :]
 
-    prev_ptrs = jnp.concatenate([jnp.zeros((B, 1), dt), ptrs[:, :-1]], axis=1)
+    def body(state):
+        i, l, out = state
+        active = i < read_lens
+        ri = jnp.clip(i + l, 0, L - 1)
+        rch = jnp.take_along_axis(reads, ri[:, None].astype(jnp.int32),
+                                  axis=1)[:, 0].astype(dt)
+        ptr = jnp.take_along_axis(
+            ptrs, jnp.clip(i, 0, L - 1)[:, None].astype(jnp.int32),
+            axis=1)[:, 0]
+        tpos = ptr + l
+        trow = text2d[jnp.clip(tpos // tg, 0, nt // tg - 1)]
+        tch = jnp.sum(jnp.where(gsel == (tpos % tg)[:, None], trow, 0),
+                      axis=1).astype(dt)
+        ok = (active & (i + l < read_lens) & (ptr >= 0)
+              & (tpos < nt) & (tpos >= 0) & (rch == tch))
+        emit = active & ~ok
+        new_out = out.at[lane, jnp.clip(i, 0, L - 1)].set(
+            jnp.where(emit, l, out[lane, jnp.clip(i, 0, L - 1)]))
+        new_i = jnp.where(emit, i + 1, i)
+        new_l = jnp.where(ok, l + 1, jnp.maximum(l - 1, 0))
+        new_l = jnp.where(active, new_l, l)
+        return new_i, new_l, new_out
 
-    def ext_step(l, x):
-        i, ptr, prev_ptr = x
-        can = (i == 0) | (ptr != prev_ptr + 1)
+    def cond(state):
+        i, _, _ = state
+        return jnp.any(i < read_lens)
 
-        def cond(state):
-            _, active = state
-            return jnp.any(active)
-
-        def body(state):
-            l_w, active = state
-            ri = jnp.clip(i + l_w, 0, L - 1)
-            rch = reads_flat[lane * L + ri]
-            tch = text[jnp.clip(ptr + l_w, 0, nt - 1)]
-            # ptr < 0 encodes the reference's underflowed unsigned pointers
-            # (compute_ms_pml.cpp:582) — always out of bounds for extension.
-            ok = (active & (i + l_w < read_lens) & (ptr >= 0)
-                  & (ptr + l_w < nt) & (rch == tch))
-            return l_w + ok.astype(dt), ok
-
-        l_w, _ = jax.lax.while_loop(cond, body, (l, can))
-        return jnp.maximum(l_w - 1, 0), l_w
-
-    xs = (jnp.arange(L, dtype=dt), ptrs.T, prev_ptrs.T)
-    _, lens = jax.lax.scan(ext_step, jnp.zeros((B,), dt), xs)
-    return lens.T  # [B, L]
+    i0 = jnp.zeros((B,), dt)
+    out0 = jnp.zeros((B, L), dt)
+    _, _, out = jax.lax.while_loop(cond, body, (i0, i0, out0))
+    return out  # [B, L]
 
 
 class ScanEngine:
