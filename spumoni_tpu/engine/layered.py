@@ -58,6 +58,13 @@ class LayeredMeta(NamedTuple):
     has_text: bool
     fused_root: bool = False  # per-char lookups via one-hot MXU matmul
     group: int = 1            # field rows grouped G runs per physical row
+    # ICI index sharding (SURVEY §2.2 "gather across shards ≈ TP"): when set,
+    # the step runs inside a shard_map whose `tp_axis` mesh axis shards the
+    # `fields` table by rows — each device holds rows [s*R_loc, (s+1)*R_loc)
+    # and a probe becomes owner-masked local gather + psum over the axis.
+    # Used when the packed index exceeds a single chip's HBM (the reference
+    # has no analog: its index always fits host RAM, thresholds_ds.hpp).
+    tp_axis: Optional[str] = None
 
 
 # field slot order inside a row; START/LEN/CUM/ESAMP/EDOC describe run k
@@ -306,15 +313,31 @@ def make_layered_step_fn(meta: LayeredMeta, mode: str, use_doc: bool):
         # "next c-run" is run lo0, whose threshold is 0, forcing the
         # jump-down the reference takes when rank(pos,c) == 0
         # (compute_ms_pml.cpp:259-268).
-        rp = ix.fields.shape[0] * G
+        tp = meta.tp_axis
+        rows_local = ix.fields.shape[0]       # local shard rows under TP
+        tp_size = jax.lax.psum(1, tp) if tp else 1
+        rp = rows_local * G * tp_size
         probe = jnp.clip(jnp.where(valid_k, k + 1, lo0), 0, rp - 1)
+        prow = probe // G if G > 1 else probe
+        if tp:
+            # ICI-sharded fields: the owner shard gathers the row locally,
+            # every other shard contributes zeros, psum over the tp axis
+            # reassembles the row on all shards (lanes stay replicated
+            # along tp, so the scan carry never diverges across shards).
+            owner = prow // rows_local
+            mine = owner == jax.lax.axis_index(tp)
+            grow = ix.fields[jnp.where(mine, prow - owner * rows_local, 0)]
+            grow = jnp.where(mine[:, None], grow, 0)
+            grow = jax.lax.psum(grow, tp)
+        else:
+            grow = ix.fields[prow]
         if G == 1:
-            row = ix.fields[probe]                            # [B, W]
+            row = grow                                        # [B, W]
         else:
             # grouped rows: gather the G-run physical row, select the target
             # run's W-slot window in-register (masked sum — cheaper than
             # take_along_axis on this part)
-            grow = ix.fields[probe // G].reshape(-1, G, W)    # [B, G, W]
+            grow = grow.reshape(-1, G, W)                     # [B, G, W]
             sel = (jnp.arange(G, dtype=dt)[None, :] == (probe % G)[:, None])
             row = jnp.sum(jnp.where(sel[:, :, None], grow, 0),
                           axis=1).astype(dt)

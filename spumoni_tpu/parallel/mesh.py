@@ -64,18 +64,10 @@ def _initial_core(ix, B, dt):
             jnp.full((B,), ix.last_run_edoc, dtype=dt))
 
 
-@functools.partial(
-    jax.jit, static_argnames=("meta", "mode", "r", "bin_width"))
-def fused_classify_kernel(ix, reads_rev, lens, max_value_thr, meta,
-                          mode: str, r: int, bin_width: int, planes=None):
-    """Scan + classification fully fused: the windowed bin-max statistics of
-    compute_ms_pml.cpp:975-995 are folded into the scan carry (bins appear in
-    decreasing order as the read is processed right-to-left; a bin closes
-    when the per-lane window id changes), so no [B, L] value matrix is
-    materialized or post-processed. Returns per-read
-    (found, above, below, sum_maxes) only — the O(B) summary that leaves the
-    chip in classify-only mode.
-    """
+def _fused_classify_core(ix, reads_rev, lens, max_value_thr, meta,
+                         mode: str, r: int, bin_width: int, planes=None):
+    """Unjitted body of fused_classify_kernel — also runs inside the
+    shard_map of the ICI-sharded-index (TP) path below."""
     B, L = reads_rev.shape
     dt = _dtype_of(ix)
     step = _step_fn_for(ix, meta, mode, False, r)
@@ -118,6 +110,22 @@ def fused_classify_kernel(ix, reads_rev, lens, max_value_thr, meta,
     summ = summ + jnp.where(has, cur_max, 0)
     found = (above > below) & has
     return found, above.astype(jnp.int32), below.astype(jnp.int32), summ
+
+
+@functools.partial(
+    jax.jit, static_argnames=("meta", "mode", "r", "bin_width"))
+def fused_classify_kernel(ix, reads_rev, lens, max_value_thr, meta,
+                          mode: str, r: int, bin_width: int, planes=None):
+    """Scan + classification fully fused: the windowed bin-max statistics of
+    compute_ms_pml.cpp:975-995 are folded into the scan carry (bins appear in
+    decreasing order as the read is processed right-to-left; a bin closes
+    when the per-lane window id changes), so no [B, L] value matrix is
+    materialized or post-processed. Returns per-read
+    (found, above, below, sum_maxes) only — the O(B) summary that leaves the
+    chip in classify-only mode.
+    """
+    return _fused_classify_core(ix, reads_rev, lens, max_value_thr, meta,
+                                mode, r, bin_width, planes)
 
 
 @functools.partial(

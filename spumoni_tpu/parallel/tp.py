@@ -1,0 +1,146 @@
+"""ICI-sharded index ("tensor parallel") querying — SURVEY §2.2.
+
+The reference's index always fits host RAM (sdsl structures, loaded whole in
+`pml_t`/`ms_t`, compute_ms_pml.cpp:694-838). On TPU the packed `fields` table
+of a human-pangenome index (r ≈ 1e8 runs × 8 slots × 8 B ≈ 6.4 GB, plus text
+for MS mode) can exceed one chip's HBM — the TPU-native answer is to shard
+the dominant table by rows over an ICI mesh axis and turn each probe into an
+owner-masked local gather + `psum` (the all-to-all row exchange pattern).
+
+Implemented with `shard_map` rather than pjit sharding constraints so the
+per-device memory is GUARANTEED to be the shard (XLA's SPMD partitioner may
+lower a gather into a row-sharded table as a full all-gather of the operand,
+which silently reinstates the replicated footprint).
+
+Mesh layout: 2-D ("data", "model") — read lanes shard over "data", the
+`fields` table shards over "model", and every lane's scan carry stays
+replicated along "model" (the psum keeps all model shards in lockstep).
+Bandwidth cost: one [B_local, G·W] psum per scan step over ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # JAX >= 0.4.35
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older JAX
+    from jax.experimental.shard_map import shard_map
+
+from ..engine.layered import LayeredArrays, LayeredMeta
+from .mesh import _fused_classify_core, replicate_index
+
+
+def make_tp_mesh(n_data: int, n_model: int, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    assert len(devices) >= n_data * n_model, (len(devices), n_data, n_model)
+    grid = np.asarray(devices[:n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(grid, ("data", "model"))
+
+
+def shard_index_tp(arrays: LayeredArrays, meta: LayeredMeta, mesh: Mesh,
+                   model_axis: str = "model"):
+    """Places the index on a 2-D mesh with `fields` row-sharded over
+    `model_axis` (rows padded to a multiple of the axis size) and every other
+    array replicated. Returns (arrays, meta with tp_axis set)."""
+    S = mesh.shape[model_axis]
+    f = np.asarray(arrays.fields)
+    rows = f.shape[0]
+    if rows % S:
+        pad = -(-rows // S) * S - rows
+        f = np.concatenate([f, np.zeros((pad, f.shape[1]), f.dtype)], axis=0)
+    fields = jax.device_put(
+        jnp.asarray(f), NamedSharding(mesh, P(model_axis, None)))
+    rest = replicate_index(arrays._replace(fields=None), mesh)
+    return (rest._replace(fields=fields),
+            meta._replace(tp_axis=model_axis))
+
+
+class TpPmlClassifier:
+    """PML classification with the index sharded over ICI (layered engine).
+
+    Same classify-only contract as ShardedPmlClassifier(want_values=False):
+    per-read (found, above, below, sum_maxes) summaries leave the mesh."""
+
+    def __init__(self, arrays: LayeredArrays, meta: LayeredMeta, mesh: Mesh,
+                 bin_width: int, max_value_thr: int, host=None,
+                 data_axis: str = "data", model_axis: str = "model"):
+        assert isinstance(arrays, LayeredArrays) or hasattr(arrays, "fields"), \
+            "ICI index sharding is implemented for the layered engine"
+        self.mesh = mesh
+        self.data_axis, self.model_axis = data_axis, model_axis
+        self.host = host
+        self.bin_width = bin_width
+        self.max_value_thr = max_value_thr
+        self.arrays, self.meta = shard_index_tp(arrays, meta, mesh,
+                                                model_axis)
+        self.r = int(self.arrays.fields.shape[0]) * self.meta.group
+        self.n_data = mesh.shape[data_axis]
+        self._fn_cache = {}
+
+    def _classify_fn(self, planes_present: bool):
+        key = planes_present
+        if key in self._fn_cache:
+            return self._fn_cache[key]
+        meta, r, bw = self.meta, self.r, self.bin_width
+        da, ma = self.data_axis, self.model_axis
+
+        def inner(ix, rev, lens, thr, planes):
+            return _fused_classify_core(ix, rev, lens, thr, meta, "pml",
+                                        r, bw, planes)
+
+        ix_specs = jax.tree_util.tree_map(lambda _: P(), self.arrays)
+        ix_specs = ix_specs._replace(fields=P(ma, None))
+        fn = jax.jit(shard_map(
+            inner, mesh=self.mesh,
+            in_specs=(ix_specs, P(da, None), P(da), P(), P()),
+            out_specs=(P(da), P(da), P(da), P(da)),
+            check_vma=False))
+        self._fn_cache[key] = fn
+        return fn
+
+    def classify(self, reads, pad_to: int = 128):
+        nreads = len(reads)
+        maxm = max((len(r) for r in reads), default=1)
+        L = pad_to
+        while L < maxm:
+            L *= 2
+        B = max(self.n_data, 1 << max(0, (nreads - 1)).bit_length())
+        if B % self.n_data:
+            B = ((B // self.n_data) + 1) * self.n_data
+        rev = np.zeros((B, L), dtype=np.uint8)
+        lens = np.zeros((B,), dtype=np.int64)
+        for i, rd in enumerate(reads):
+            a = np.frombuffer(bytes(rd), dtype=np.uint8)
+            rev[i, :len(a)] = a[::-1]
+            lens[i] = len(a)
+
+        planes = None
+        if self.host is not None:
+            alphabet = tuple(sorted(
+                set(self.host.index_chars)
+                | set(int(x) for x in np.unique(rev)) | {0}))
+            rev = self.host.rank_map(alphabet)[rev]
+            planes = replicate_index(
+                self.host.planes_for_alphabet(alphabet), self.mesh)
+
+        rev_d = jax.device_put(
+            jnp.asarray(rev), NamedSharding(self.mesh, P(self.data_axis, None)))
+        lens_d = jax.device_put(
+            jnp.asarray(lens), NamedSharding(self.mesh, P(self.data_axis)))
+        thr = jnp.asarray(self.max_value_thr)
+        found, above, below, sums = self._classify_fn(planes is not None)(
+            self.arrays, rev_d, lens_d, thr, planes)
+        found = np.asarray(found)[:nreads]
+        return {
+            "found": found,
+            "above": np.asarray(above)[:nreads],
+            "below": np.asarray(below)[:nreads],
+            "sum_maxes": np.asarray(sums)[:nreads],
+            "total_found": int(found.sum()),
+        }

@@ -1,0 +1,86 @@
+"""ICI-sharded index (TP) path: a 2x4 (data x model) virtual CPU mesh with
+the `fields` table row-sharded must (a) agree bit-for-bit with the replicated
+data-parallel path and the native CPU engine, and (b) actually hold only a
+1/4 row-shard of `fields` on each device."""
+
+import jax
+import numpy as np
+
+from spumoni_tpu.native import build_raw_index, NativeQueryEngine
+from spumoni_tpu.index.format import build_dense_index
+from spumoni_tpu.engine.layered import build_layered
+from spumoni_tpu.classify import binmax
+from spumoni_tpu.parallel.mesh import ShardedPmlClassifier, make_data_mesh
+from spumoni_tpu.parallel.tp import TpPmlClassifier, make_tp_mesh
+
+from conftest import rand_dna, mutated_substring
+
+
+def _setup(rng, n_text=6000):
+    text = rand_dna(rng, n_text)
+    raw = build_raw_index(np.frombuffer(text, np.uint8))
+    dense = build_dense_index(raw)
+    arrays, meta, host = build_layered(dense)
+    native = NativeQueryEngine(raw.n, raw.run_heads, raw.run_starts,
+                               raw.thresholds, raw.samples_start,
+                               raw.samples_last)
+    return text, arrays, meta, host, native
+
+
+def test_tp_classifier_matches_native(rng, make_reads):
+    text, arrays, meta, host, native = _setup(rng)
+    mesh = make_tp_mesh(2, 4)
+    clf = TpPmlClassifier(arrays, meta, mesh, bin_width=150, max_value_thr=5,
+                          host=host)
+    reads = [mutated_substring(rng, text, 300, err=0.05) for _ in range(9)]
+    reads += [rand_dna(rng, 300) for _ in range(8)]
+    out = clf.classify(reads)
+
+    ref_lengths = native.query_pml(reads)
+    for i in range(len(reads)):
+        ref = binmax.classify(ref_lengths[i], 150, 5)
+        assert (ref.status == "FOUND") == bool(out["found"][i]), i
+        assert ref.bins_above == out["above"][i], i
+        assert ref.bins_below == out["below"][i], i
+        assert ref.bin_maxes.sum() == out["sum_maxes"][i], i
+
+
+def test_tp_matches_replicated_path(rng):
+    text, arrays, meta, host, _ = _setup(rng, n_text=3000)
+    reads = [mutated_substring(rng, text, 220, err=0.08) for _ in range(16)]
+
+    repl = ShardedPmlClassifier(arrays, meta, make_data_mesh(),
+                                bin_width=100, max_value_thr=4, host=host)
+    out_repl = repl.classify(reads, want_values=False)
+
+    tp = TpPmlClassifier(arrays, meta, make_tp_mesh(2, 4),
+                         bin_width=100, max_value_thr=4, host=host)
+    out_tp = tp.classify(reads)
+    for k in ("found", "above", "below", "sum_maxes"):
+        assert np.array_equal(out_repl[k], out_tp[k]), k
+    assert out_repl["total_found"] == out_tp["total_found"]
+
+
+def test_tp_fields_memory_is_sharded(rng):
+    _, arrays, meta, host, _ = _setup(rng, n_text=3000)
+    mesh = make_tp_mesh(2, 4)
+    clf = TpPmlClassifier(arrays, meta, mesh, bin_width=150,
+                          max_value_thr=5, host=host)
+    total_rows = clf.arrays.fields.shape[0]
+    for shard in clf.arrays.fields.addressable_shards:
+        assert shard.data.shape[0] == total_rows // 4
+
+
+def test_tp_uneven_row_padding(rng):
+    """Mesh size that does not divide the row count: rows are padded."""
+    text, arrays, meta, host, native = _setup(rng, n_text=2500)
+    mesh = make_tp_mesh(1, 8)
+    clf = TpPmlClassifier(arrays, meta, mesh, bin_width=150,
+                          max_value_thr=5, host=host)
+    assert clf.arrays.fields.shape[0] % 8 == 0
+    reads = [mutated_substring(rng, text, 180, err=0.05) for _ in range(5)]
+    out = clf.classify(reads)
+    ref_lengths = native.query_pml(reads)
+    for i in range(len(reads)):
+        ref = binmax.classify(ref_lengths[i], 150, 5)
+        assert (ref.status == "FOUND") == bool(out["found"][i]), i
