@@ -42,6 +42,21 @@ def run_test(pos_stats: np.ndarray, null_stats: np.ndarray) -> float:
     return ks
 
 
+def n_windows(m: int, bin_size: int) -> int:
+    """Number of rand() draws KSTest.run_kstest consumes for a read of m
+    values (one per window) — used to keep a host's glibc stream aligned
+    with the global single-process consumption order under host sharding
+    and resume (ks_test.cpp:113 draws once per window)."""
+    count, start, bs = 0, 0, bin_size
+    while start < m:
+        end = start + bs if start + bs <= m - bs else m
+        if m < bs:
+            end = m
+        count += 1
+        start += end - start
+    return count
+
+
 class KSTest:
     def __init__(self, null_db, bin_size: int, rand: GlibcRand | None = None):
         self.null_db = null_db

@@ -57,6 +57,13 @@ class GlibcRand:
     def rand(self) -> int:
         return self._next_word() >> 1
 
+    def advance(self, k: int) -> None:
+        """Discards k draws — used to keep a host's stream aligned with the
+        global (single-process) rand() consumption order under host sharding
+        and resume."""
+        for _ in range(k):
+            self._next_word()
+
 
 # Module-level instance mirroring the process-wide srand()/rand() state of the
 # reference binary (one state per build/run invocation).

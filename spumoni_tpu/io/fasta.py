@@ -108,6 +108,27 @@ def write_fasta(path: str, records, width: int | None = None) -> None:
                 f.write(s + "\n")
 
 
+def iter_general_reads(path: str, chunk_bytes: int = 1 << 20):
+    """Streams a general-text pattern file, yielding ('read_{i}', bytes) for
+    each \\x01-separated record (compute_ms_pml.cpp:1219-1297) without
+    loading the file into memory. Reference semantics: a record is emitted
+    only at each separator, so any trailing chunk after the final \\x01
+    (possibly the whole file, if no separator exists) is never emitted."""
+    buf = b""
+    idx = 0
+    with open(path, "rb") as f:
+        while True:
+            data = f.read(chunk_bytes)
+            if not data:
+                break
+            buf += data
+            parts = buf.split(b"\x01")
+            buf = parts.pop()
+            for part in parts:
+                yield f"read_{idx}", part
+                idx += 1
+
+
 def batch_iter(items, batch_bases: int = 100_000):
     """Groups reads into batches of roughly `batch_bases` total bases —
     the TPU-side analog of BatchLoader's ~1000-base work units

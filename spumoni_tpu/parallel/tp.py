@@ -27,19 +27,37 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+import inspect
+
 try:  # JAX >= 0.4.35
     from jax import shard_map
 except ImportError:  # pragma: no cover - older JAX
     from jax.experimental.shard_map import shard_map
 
-from ..engine.layered import LayeredArrays, LayeredMeta
+# Older shard_map spells the replication-check kwarg `check_rep`.
+_SM_CHECK_KW = ("check_vma"
+                if "check_vma" in inspect.signature(shard_map).parameters
+                else "check_rep")
+
+from ..engine.layered import F_START, LayeredArrays, LayeredMeta
 from .mesh import _fused_classify_core, replicate_index
 
 
 def make_tp_mesh(n_data: int, n_model: int, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     assert len(devices) >= n_data * n_model, (len(devices), n_data, n_model)
-    grid = np.asarray(devices[:n_data * n_model]).reshape(n_data, n_model)
+    if devices is not None and len(devices) != n_data * n_model:
+        devices = devices[:n_data * n_model]
+    try:
+        # Physical placement: the per-step [B_local, G*W] psum rides the
+        # `model` axis every scan step, so that axis must map to
+        # ICI-adjacent chips. create_device_mesh solves the assignment from
+        # the device coordinates; a naive reshape of jax.devices() does not.
+        from jax.experimental import mesh_utils
+        grid = mesh_utils.create_device_mesh((n_data, n_model),
+                                             devices=devices)
+    except Exception:  # virtual/CPU devices without coords
+        grid = np.asarray(devices).reshape(n_data, n_model)
     return Mesh(grid, ("data", "model"))
 
 
@@ -53,7 +71,16 @@ def shard_index_tp(arrays: LayeredArrays, meta: LayeredMeta, mesh: Mesh,
     rows = f.shape[0]
     if rows % S:
         pad = -(-rows // S) * S - rows
-        f = np.concatenate([f, np.zeros((pad, f.shape[1]), f.dtype)], axis=0)
+        # Pad with the same sentinel pattern as build_layered (layered.py):
+        # every padded run slot gets F_START = n (an unreachable start), rest
+        # zero.  The probe row is always <= r < original rp so pad rows are
+        # never gathered today; the sentinel keeps them inert even if that
+        # invariant ever loosens (a zero START would parse as a valid run
+        # at position 0).
+        padblock = np.zeros((pad, f.shape[1]), f.dtype)
+        width = meta.width
+        padblock[:, F_START::width] = int(np.asarray(arrays.n))
+        f = np.concatenate([f, padblock], axis=0)
     fields = jax.device_put(
         jnp.asarray(f), NamedSharding(mesh, P(model_axis, None)))
     rest = replicate_index(arrays._replace(fields=None), mesh)
@@ -79,7 +106,10 @@ class TpPmlClassifier:
         self.max_value_thr = max_value_thr
         self.arrays, self.meta = shard_index_tp(arrays, meta, mesh,
                                                 model_axis)
-        self.r = int(self.arrays.fields.shape[0]) * self.meta.group
+        # Total run SLOTS including shard-pad rows (not the logical run
+        # count r) — used only to size probe clamping in the step fn; pad
+        # slots carry the inert F_START=n sentinel.
+        self.n_slots = int(self.arrays.fields.shape[0]) * self.meta.group
         self.n_data = mesh.shape[data_axis]
         self._fn_cache = {}
 
@@ -87,7 +117,7 @@ class TpPmlClassifier:
         key = planes_present
         if key in self._fn_cache:
             return self._fn_cache[key]
-        meta, r, bw = self.meta, self.r, self.bin_width
+        meta, r, bw = self.meta, self.n_slots, self.bin_width
         da, ma = self.data_axis, self.model_axis
 
         def inner(ix, rev, lens, thr, planes):
@@ -100,7 +130,7 @@ class TpPmlClassifier:
             inner, mesh=self.mesh,
             in_specs=(ix_specs, P(da, None), P(da), P(), P()),
             out_specs=(P(da), P(da), P(da), P(da)),
-            check_vma=False))
+            **{_SM_CHECK_KW: False}))
         self._fn_cache[key] = fn
         return fn
 

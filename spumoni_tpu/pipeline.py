@@ -76,6 +76,15 @@ class BuildConfig:
             raise ValueError("an output prefix (-o) is required")
         if not self.ms_index and not self.pml_index:
             raise ValueError("at least one index type (-M or -P) is required")
+        # -d with a single reference file needs a pre-made .fa.fdi
+        # (spumoni_main.hpp:186-196); otherwise the doc-array build would
+        # only fail later with a missing-.fdi error.
+        if (self.build_doc and self.ref_file and not self.input_list
+                and not os.path.isfile(self.output_prefix + ".fa.fdi")):
+            raise ValueError(
+                "cannot build a document array (-d) when indexing a single "
+                "file unless a *.fa.fdi file is provided for it; use a file "
+                "list (-i) instead")
         if self.use_minimizers and not self.is_general_text:
             if self.use_promotions and self.use_dna_letters:
                 raise ValueError("only one minimizer type may be specified")
@@ -476,10 +485,18 @@ def run(cfg: RunConfig) -> int:
 
     from .classify.report import ks_report_header, ks_report_line
     ks_test = None
+    ks_pending = None
     if cfg.write_report and cfg.ks_report:
         # classification start mirrors srand(0) (compute_ms_pml.cpp:892)
         ks_test = KSTest(null_db, cfg.bin_size, rand=GlibcRand(0))
         ks_thr = null_db.ks_stat_threshold
+        # Under host sharding / resume, this host must discard the rand()
+        # draws that other hosts' (or already-completed) reads consume in
+        # the global single-process order: one draw per KS window.  The
+        # record stream below counts those windows into this queue; the
+        # write loop advances the stream before each owned read.
+        from collections import deque
+        ks_pending = deque()
 
     mode_ = "a" if skip else "w"
     files = {k_: open(dist.shard_path(v, p, P), mode_)
@@ -488,11 +505,30 @@ def run(cfg: RunConfig) -> int:
         files["report"].write(ks_report_header(ks_thr) if cfg.ks_report
                               else report_header(thr))
 
+    def _digested_len(seq: str) -> int:
+        rd = seq.upper()
+        if cfg.min_digest:
+            rd = digest(rd, cfg.use_promotions, cfg.use_dna_letters,
+                        cfg.k, cfg.w)
+        return len(rd)
+
     def my_records():
-        stream = dist.host_shard_reads(iter_query_reads(cfg.pattern_file), p, P)
-        for own_idx, (_, item) in enumerate(stream):
-            if own_idx >= skip:
+        from .classify.kstest import n_windows
+        own_idx = -1
+        pending = 0
+        for i, item in enumerate(iter_query_reads(cfg.pattern_file)):
+            owned = i % P == p
+            if owned:
+                own_idx += 1
+            if owned and own_idx >= skip:
+                if ks_pending is not None:
+                    ks_pending.append(pending)
+                    pending = 0
                 yield item
+            elif ks_pending is not None:
+                # not processed here this session, but its KS windows consume
+                # rand() draws in the global order — count them for advance()
+                pending += n_windows(_digested_len(item[1]), cfg.bin_size)
 
     num_reads = skip
     found_count = 0
@@ -529,6 +565,7 @@ def run(cfg: RunConfig) -> int:
                 write_values_record(files["pointers"], rid, out["pointers"][i])
             write_values_record(files["lengths"], rid, out["lengths"][i])
             if cfg.write_report and cfg.ks_report:
+                ks_test.rand.advance(ks_pending.popleft())
                 ks_list = ks_test.run_kstest(out["lengths"][i])
                 above = sum(1 for x in ks_list if x >= ks_thr)
                 found = above / len(ks_list) > 0.50
@@ -558,8 +595,14 @@ def run(cfg: RunConfig) -> int:
         gf, gt = dist.global_found_counts(found_count, num_reads)
         if p == 0:
             for k_, v in paths.items():
-                dist.merge_shards(v, P, header=report_header(thr)
-                                  if k_ == "report" else None)
+                hdr = None
+                if k_ == "report":
+                    # per-shard report files are headerless; the merged file
+                    # gets the header matching the classifier that produced
+                    # the lines (bin-max vs --ks-report)
+                    hdr = (ks_report_header(ks_thr) if cfg.ks_report
+                           else report_header(thr))
+                dist.merge_shards(v, P, header=hdr)
             log("run", f"merged {P} host shards; {gf}/{gt} reads FOUND")
         num_reads = gt
     log("run", f"processed {num_reads} reads ({total_bases} bases) in "
@@ -569,26 +612,48 @@ def run(cfg: RunConfig) -> int:
 
 def _run_general_text(cfg: RunConfig, engine) -> int:
     """General-text querying: reads separated by \\x01
-    (compute_ms_pml.cpp:1219-1297)."""
-    with open(cfg.pattern_file, "rb") as f:
-        data = f.read()
-    # the reference emits a read only at each separator; the chunk after the
-    # final \x01 (possibly empty) is never emitted (pattern_fd.good() loop)
-    reads = data.split(b"\x01")[:-1]
+    (compute_ms_pml.cpp:1219-1297), streamed through the same
+    batching/prefetch/host-sharding path as FASTA queries — the pattern file
+    is never loaded whole into memory."""
+    from .io.fasta import iter_general_reads
+    from .parallel import distributed as dist
+
     out_prefix = cfg.pattern_file
+    P, p = cfg.process_count, cfg.process_index
+    paths = {}
     if cfg.mode == "pml":
-        lf = open(out_prefix + ".pseudo_lengths", "w")
-        out = engine.query(reads)
-        for i, r in enumerate(reads):
-            write_values_record(lf, f"read_{i}", out["lengths"][i])
-        lf.close()
+        paths["lengths"] = out_prefix + ".pseudo_lengths"
     else:
-        lf = open(out_prefix + ".lengths", "w")
-        pf = open(out_prefix + ".pointers", "w")
+        paths["lengths"] = out_prefix + ".lengths"
+        paths["pointers"] = out_prefix + ".pointers"
+    files = {k_: open(dist.shard_path(v, p, P), "w")
+             for k_, v in paths.items()}
+
+    def my_records():
+        stream = dist.host_shard_reads(
+            iter_general_reads(cfg.pattern_file), p, P)
+        for _, item in stream:
+            yield item
+
+    num_reads = 0
+    for batch in _prefetched(batch_iter(my_records(), cfg.batch_bases)):
+        ids = [rid for rid, _ in batch]
+        reads = [rd for _, rd in batch]
         out = engine.query(reads)
-        for i, r in enumerate(reads):
-            write_values_record(lf, f"read_{i}", out["lengths"][i])
-            write_values_record(pf, f"read_{i}", out["pointers"][i])
-        lf.close()
-        pf.close()
-    return len(reads)
+        for i, rid in enumerate(ids):
+            write_values_record(files["lengths"], rid, out["lengths"][i])
+            if cfg.mode == "ms":
+                write_values_record(files["pointers"], rid,
+                                    out["pointers"][i])
+            num_reads += 1
+        for f in files.values():
+            f.flush()
+    for f in files.values():
+        f.close()
+
+    if P > 1:
+        _, num_reads = dist.global_found_counts(0, num_reads)
+        if p == 0:
+            for v in paths.values():
+                dist.merge_shards(v, P)
+    return num_reads

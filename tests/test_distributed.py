@@ -60,6 +60,63 @@ def _parse_report_lines(text):
     return sorted(line for line in text.splitlines()[1:] if line.strip())
 
 
+def test_two_host_ks_report_header(tmp_path, rng):
+    """A P>1 --ks-report run must merge with the KS header, not the
+    bin-max header (regression: pipeline always re-added the bin-max one)."""
+    reads_path = _build_index(tmp_path, rng)
+
+    def _run(**kw):
+        return run(RunConfig(ref_file=str(tmp_path / "idx"),
+                             pattern_file=reads_path, pml_requested=True,
+                             min_digest=False, write_report=True,
+                             ks_report=True, device="cpu", **kw))
+
+    _run()
+    single = open(reads_path + ".report").read()
+    assert "avg ks-stat" in single.splitlines()[0]
+
+    _run(process_index=1, process_count=2)
+    _run(process_index=0, process_count=2)
+    merged = open(reads_path + ".report").read()
+    assert merged.splitlines()[0] == single.splitlines()[0]
+    assert _parse_report_lines(single) == _parse_report_lines(merged)
+
+
+def test_two_host_general_text(tmp_path, rng):
+    """General-text querying goes through the same host-sharded streaming
+    path; a 2-host simulated run must merge to the single-host outputs."""
+    data = bytes(rng.integers(97, 123, size=20000).astype(np.uint8))
+    ref_path = str(tmp_path / "corpus.txt")
+    with open(ref_path, "wb") as f:
+        f.write(data)
+    queries = [bytes(data[i * 1000:i * 1000 + 250]) for i in range(5)]
+    queries.append(bytes(rng.integers(97, 123, size=250).astype(np.uint8)))
+    pattern_path = str(tmp_path / "queries.txt")
+    with open(pattern_path, "wb") as f:
+        f.write(b"\x01".join(queries) + b"\x01")
+
+    build(BuildConfig(ref_file=ref_path, output_prefix=str(tmp_path / "idx"),
+                      pml_index=True, is_general_text=True,
+                      use_minimizers=False))
+
+    def _run(**kw):
+        return run(RunConfig(ref_file=ref_path, pattern_file=pattern_path,
+                             pml_requested=True, is_general_text=True,
+                             min_digest=False, device="cpu",
+                             batch_bases=600, **kw))
+
+    n = _run()
+    assert n == 6
+    single = _parse_values_file(pattern_path + ".pseudo_lengths")
+
+    _run(process_index=1, process_count=2)
+    _run(process_index=0, process_count=2)
+    merged = _parse_values_file(pattern_path + ".pseudo_lengths")
+    assert set(single) == set(merged) == {f"read_{i}" for i in range(6)}
+    for rid in single:
+        assert np.array_equal(single[rid], merged[rid]), rid
+
+
 def test_resume_cursor(tmp_path, rng):
     reads_path = _build_index(tmp_path, rng)
     rcfg = dict(ref_file=str(tmp_path / "idx"), pattern_file=reads_path,

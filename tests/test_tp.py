@@ -72,12 +72,25 @@ def test_tp_fields_memory_is_sharded(rng):
 
 
 def test_tp_uneven_row_padding(rng):
-    """Mesh size that does not divide the row count: rows are padded."""
+    """Mesh size that does NOT divide the row count: rows must be padded.
+
+    build_layered always yields a power-of-two row count, so a 3-wide model
+    axis (power of two mod 3 is never 0) is guaranteed to take the padding
+    branch in shard_index_tp — unlike an 8-wide axis, which divides every
+    power-of-two table and leaves the branch dead."""
     text, arrays, meta, host, native = _setup(rng, n_text=2500)
-    mesh = make_tp_mesh(1, 8)
+    rows_before = int(arrays.fields.shape[0])
+    assert rows_before % 3 != 0  # precondition: padding branch will fire
+    mesh = make_tp_mesh(1, 3)
     clf = TpPmlClassifier(arrays, meta, mesh, bin_width=150,
                           max_value_thr=5, host=host)
-    assert clf.arrays.fields.shape[0] % 8 == 0
+    rows_after = int(clf.arrays.fields.shape[0])
+    assert rows_after % 3 == 0 and rows_after > rows_before
+    # pad rows carry the same F_START=n sentinel pattern as build_layered
+    from spumoni_tpu.engine.layered import F_START
+    tail = np.asarray(jax.device_get(clf.arrays.fields))[rows_before:]
+    n = int(np.asarray(arrays.n))
+    assert (tail[:, F_START::meta.width] == n).all()
     reads = [mutated_substring(rng, text, 180, err=0.05) for _ in range(5)]
     out = clf.classify(reads)
     ref_lengths = native.query_pml(reads)
