@@ -73,6 +73,75 @@ def test_minimizer_digestion_properties():
     assert len(rep) == 4
 
 
+def test_minimizer_lex_semantics_oracle():
+    """DNA-letter scheme against a direct transliteration of bonsai
+    Encoder<score::Lex>: window = span of w BASES (w-k+1 k-mers,
+    Spacer(k, w)), per-position min over 2-bit codes, invalid k-mers
+    score as BF and all-invalid windows emit nothing, then SPUMONI's
+    hp-compression (spumoni.cpp:321-342)."""
+    rng = np.random.default_rng(11)
+    enc = {65: 0, 67: 1, 71: 2, 84: 3}
+
+    def oracle(seq, k, w):
+        kmers = []
+        for i in range(len(seq) - k + 1):
+            sub = seq[i:i + k]
+            if all(b in enc for b in sub):
+                v = 0
+                for b in sub:
+                    v = v * 4 + enc[b]
+                kmers.append(v)
+            else:
+                kmers.append(None)   # BF
+        per = w - k + 1
+        if not kmers:
+            return b""
+        if len(kmers) <= per:
+            wins = [kmers]
+        else:
+            wins = [kmers[i:i + per] for i in range(len(kmers) - per + 1)]
+        out, prev = [], object()
+        for win in wins:
+            vals = [v for v in win if v is not None]
+            if not vals:
+                continue
+            m = min(vals)
+            if m != prev:
+                out.append(m)
+                prev = m
+        s = b""
+        for v in out:
+            s += bytes(b"ACGT"[(v >> (2 * (k - 1 - j))) & 3]
+                       for j in range(k))
+        return s
+
+    for trial in range(20):
+        n = int(rng.integers(3, 120))
+        seq = bytes(rng.choice(np.frombuffer(b"ACGTN", np.uint8),
+                               p=[0.23, 0.23, 0.23, 0.23, 0.08],
+                               size=n).astype(np.uint8))
+        for (k, w) in [(4, 11), (3, 9), (2, 2), (4, 4), (5, 20)]:
+            got = minimizers.digest_dna(seq, k, w)
+            assert got == oracle(seq, k, w), (seq, k, w)
+
+
+def test_minimizer_promotion_window_geometry():
+    """Promotion scheme shares the window geometry: a window covers
+    w - k + 1 k-mers, so two sequences differing only after the first
+    window's span digest to streams with a common prefix."""
+    k, w = 4, 11
+    seq = b"ACGTTGCAACGTGGCATTCAGA"
+    d_full = minimizers.digest_promotion(seq, k, w)
+    # N invalidates overlapping k-mers but valid windows still emit
+    seqn = seq[:8] + b"N" + seq[9:]
+    dn = minimizers.digest_promotion(seqn, k, w)
+    assert len(dn) > 0
+    # all-N: nothing valid, nothing emitted
+    assert minimizers.digest_promotion(b"N" * 50, k, w) == b""
+    assert minimizers.digest_dna(b"N" * 50, k, w) == b""
+    assert len(d_full) > 0
+
+
 def test_utils_phase_and_footprint(capsys):
     import jax.numpy as jnp
     from spumoni_tpu import utils
