@@ -9,7 +9,8 @@ from __future__ import annotations
 import argparse
 import sys
 
-from .pipeline import BuildConfig, RunConfig, build, run
+from .pipeline import (BuildConfig, RunConfig, build, import_reference_build,
+                       run)
 
 
 def _build_parser() -> argparse.ArgumentParser:
@@ -54,6 +55,27 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="native construction path: in-memory SA-IS or "
                         "prefix-free parsing (identical output; pfp uses "
                         "O(parse+dict) memory for very large references)")
+    b.add_argument("--emit-ref-formats", dest="emit_ref_formats",
+                   action="store_true",
+                   help="also write the reference binary's 5-byte "
+                        ".bwt.heads/.bwt.len/.thr_pos/.ssa/.esa intermediates")
+
+    ir = sub.add_parser(
+        "import-ref",
+        help="build run-ready indexes from a reference spumoni build's "
+             "intermediate files (.bwt.heads/.bwt.len/.thr_pos/.ssa/.esa)")
+    ir.add_argument("-r", "--ref", dest="ref_file", required=True,
+                    help="built-reference path the intermediates are named "
+                         "after (usually <prefix>.fa)")
+    ir.add_argument("-M", "--MS", dest="ms_index", action="store_true")
+    ir.add_argument("-P", "--PML", dest="pml_index", action="store_true")
+    ir.add_argument("-m", "--minimizer-alphabet", dest="use_promotions",
+                    action="store_true")
+    ir.add_argument("-a", "--dna-minimizer", dest="use_dna_letters",
+                    action="store_true")
+    ir.add_argument("-K", "--small-window", dest="k", type=int, default=4)
+    ir.add_argument("-W", "--large-window", dest="w", type=int, default=11)
+    ir.add_argument("-w", "--window", dest="bin_size", type=int, default=150)
 
     r = sub.add_parser("run", help="compute MS/PML for reads against an index")
     r.add_argument("-r", "--ref", dest="ref_file", required=True,
@@ -79,10 +101,11 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="CPU threads (device=cpu)")
     r.add_argument("--device", choices=["tpu", "cpu"], default="tpu",
                    help="query engine backend (default: tpu)")
-    r.add_argument("--engine", choices=["auto", "layered", "occ"],
+    r.add_argument("--engine", choices=["auto", "layered", "occ", "bits"],
                    default="auto",
-                   help="TPU kernel layout: layered v2 (default on v5e) or "
-                        "occ-block v3 (one gather/step)")
+                   help="TPU kernel layout: block-bits v4 (PML default when "
+                        "eligible), layered v2 (MS/doc and large indexes), "
+                        "occ-block v3 (kept for stronger-VPU parts)")
     r.add_argument("--batch-bases", dest="batch_bases", type=int,
                    default=4_000_000, help="bases per device batch")
     r.add_argument("--ks-report", dest="ks_report", action="store_true",
@@ -100,6 +123,16 @@ def main(argv=None) -> int:
             kwargs["use_minimizers"] = False
         cfg = BuildConfig(**kwargs)
         build(cfg)
+        return 0
+    if args.command == "import-ref":
+        if not args.ms_index and not args.pml_index:
+            raise SystemExit("import-ref: at least one of -M/-P is required")
+        out = args.ref_file
+        for ext in (".fa", ".bin"):
+            if out.endswith(ext):
+                out = out[:-len(ext)]
+        cfg = BuildConfig(output_prefix=out, **kwargs)
+        import_reference_build(cfg)
         return 0
     if args.command == "run":
         if args.is_general_text:

@@ -237,6 +237,42 @@ class PfpParse:
         self.dict_concat.tofile(prefix + ".dict")
         self.occ.astype(np.int32).tofile(prefix + ".occ")
 
+    def save_dicz(self, prefix: str) -> None:
+        """compress_dictionary's exact transformation
+        (/root/reference/src/compress_dictionary.cpp:100-167): strips the
+        w-char trigger suffix from each lex-ordered phrase into
+        <prefix>.dicz (+ 4-byte lengths in .dicz.len). The EMPTY FIRST
+        PHRASE case — the lex-smallest phrase is exactly one trigger string,
+        so it vanishes after stripping — skips that phrase and rewrites
+        <prefix>.parse with every id shifted down by one (the old parse is
+        kept as .parse_with_empty_phrase, mirroring the reference's mv)."""
+        import os
+
+        w = self.w
+        comp = np.asarray(self.dict_len, dtype=np.int64) - w
+        empty_first = len(comp) > 0 and comp[0] == 0
+        if (comp[1:] <= 0).any() or (len(comp) > 0 and not empty_first
+                                     and comp[0] < 0):
+            raise ValueError("length<=0 phrase after removing the trigger "
+                             "string (only the first may be empty)")
+        start = 1 if empty_first else 0
+        with open(prefix + ".dicz", "wb") as dz, \
+                open(prefix + ".dicz.len", "wb") as dl:
+            for i in range(start, len(comp)):
+                o = int(self.dict_off[i])
+                dz.write(self.dict_concat[o:o + int(comp[i])].tobytes())
+            comp[start:].astype("<i4").tofile(dl)
+        if empty_first:
+            parse = np.asarray(self.parse, dtype=np.int64)
+            # the empty phrase is lex-smallest (id 1) and opens the text
+            assert parse[0] == 1, "parse should begin with the lowest " \
+                                  "lexicographic phrase"
+            assert (parse[1:] > 1).all(), "empty phrase must occur once"
+            if os.path.exists(prefix + ".parse"):
+                os.replace(prefix + ".parse",
+                           prefix + ".parse_with_empty_phrase")
+            (parse[1:] - 1).astype("<i4").tofile(prefix + ".parse")
+
 
 def pfp_parse(text: np.ndarray, w: int = 10, mod: int = 100) -> PfpParse:
     """Prefix-free parsing of `text` (uint8; bytes must be >= 3, the PFP

@@ -64,6 +64,9 @@ class BuildConfig:
     bin_size: int = DEFAULT_BIN_SIZE
     verbose: bool = False
     build_method: str = "auto"  # 'auto' | 'sais' | 'pfp' (native builder path)
+    emit_ref_formats: bool = False  # also write the reference binary's
+                                    # .bwt.heads/.bwt.len/.thr_pos/.ssa/.esa
+                                    # intermediates (index/interchange.py)
 
     def validate(self) -> None:
         if not self.ref_file and not self.input_list:
@@ -171,6 +174,12 @@ def build(cfg: BuildConfig) -> str:
     n, r = raw.n, raw.r
     log("build_main", f"bwt statistics: r = {r}, n = {n}, n/r = {n / r:.3f}")
 
+    if cfg.emit_ref_formats:
+        from .index.interchange import export_reference_index
+        paths = export_reference_index(raw, ref_path)
+        log("build_main", "wrote reference-format intermediates: "
+            + ", ".join(os.path.basename(p) for p in paths))
+
     # ---- document array (L2, doc_array.cpp) ----
     doc_start = doc_end = None
     if cfg.build_doc:
@@ -259,6 +268,80 @@ def _build_raw_cached(ref_path: str, text: np.ndarray, content_hash: str,
     return raw
 
 
+def import_reference_build(cfg: BuildConfig) -> str:
+    """Builds run-ready indexes from a reference binary's intermediate files
+    (<ref_file>.bwt.heads/.bwt.len/.thr_pos/.ssa/.esa) — i.e. resumes a
+    reference `spumoni build` at the point after pfp_thresholds ran
+    (spumoni.cpp:524-545). `cfg.ref_file` is the built-reference path the
+    intermediates are named after (usually `<prefix>.fa`); indexes are
+    written next to it so `run -r <prefix>` works unchanged.
+
+    The empirical null databases are rebuilt from `spumoni_null_reads.fa`
+    in the same directory when present (the reference keeps it for its own
+    quick-build, spumoni.cpp:570-601); without it, value-output runs work
+    but classification (-c) has no threshold source."""
+    from .index.interchange import import_reference_index
+
+    ref_path = cfg.ref_file
+    raw = import_reference_index(ref_path,
+                                 with_samples=cfg.ms_index)
+    n, r = raw.n, raw.r
+    log("import_ref", f"imported reference intermediates: r = {r}, n = {n}, "
+                      f"n/r = {n / r:.3f}")
+
+    text = None
+    if cfg.ms_index and os.path.isfile(ref_path):
+        with open(ref_path, "rb") as f:
+            t = np.frombuffer(f.read(), dtype=np.uint8)
+        if len(t) + 1 == n:
+            text = t
+        else:
+            log("import_ref", f"WARNING: {ref_path} is {len(t)} bytes but "
+                              f"the BWT implies a {n - 1}-byte text; MS runs "
+                              f"will emit pointers without lengths")
+
+    null_path = os.path.join(os.path.dirname(os.path.abspath(ref_path)),
+                             "spumoni_null_reads.fa")
+    have_nulls = os.path.isfile(null_path)
+    engine = None
+    if have_nulls:
+        engine = NativeQueryEngine(
+            raw.n, raw.run_heads, raw.run_starts, raw.thresholds,
+            raw.samples_start, raw.samples_last, text=text)
+    else:
+        log("import_ref", f"WARNING: {null_path} not found; skipping the "
+                          f"null databases (classification runs need them)")
+
+    threads = os.cpu_count() or 1
+    rand = GlibcRand(0)
+    for want_ms in (True, False):
+        if want_ms and not cfg.ms_index:
+            continue
+        if not want_ms and not cfg.pml_index:
+            continue
+        kind = "ms" if want_ms else "spumoni"
+        dense = build_dense_index(raw, text=text if want_ms else None,
+                                  with_samples=want_ms)
+        save_dense_index(dense, f"{ref_path}.thrbv.{kind}")
+        _write_stats(dense, cfg.output_prefix
+                     + (".ms" if want_ms else ".pml") + "_index_stats.txt")
+        if have_nulls:
+            if want_ms:
+                qfn = lambda reads: engine.query_ms(reads, threads=threads)[1]
+            else:
+                qfn = lambda reads: engine.query_pml(reads, threads=threads)
+            null_db = EmpNullDatabase.from_null_reads(
+                qfn, null_path, cfg.use_promotions, cfg.use_dna_letters,
+                cfg.k, cfg.w, cfg.is_general_text)
+            null_db.ks_stat_threshold = find_ks_threshold(
+                qfn, null_path, null_db, cfg.bin_size,
+                cfg.use_promotions, cfg.use_dna_letters, cfg.k, cfg.w,
+                rand=rand)
+            null_db.save(ref_path + (".msnulldb" if want_ms
+                                     else ".pmlnulldb"))
+    return ref_path
+
+
 def _rm_temp_files(ref_path: str) -> None:
     """Counterpart of rm_temp_build_files (spumoni.cpp:502-522)."""
     p = ref_path + ".rawindex.npz"
@@ -303,10 +386,11 @@ class RunConfig:
     ks_report: bool = False   # classify via windowed KS test instead of
                               # bin-max (the reference's build-time-live path,
                               # ks_test.cpp + compute_ms_pml.cpp:942-967)
-    engine: str = "auto"      # 'auto' | 'layered' (v2) | 'occ' (v3):
-                              # v2 (3 grouped gathers/step) measures fastest
-                              # on v5e; v3 (1 gather/step) is kept for parts
-                              # with stronger vector units (occblock.py)
+    engine: str = "auto"      # 'auto' | 'layered' (v2) | 'occ' (v3) |
+                              # 'bits' (v4, PML-only 1-slim-gather/step).
+                              # auto: v4 when eligible for PML without doc
+                              # tracking, else v2 (v3 is kept for parts with
+                              # stronger vector units, occblock.py)
 
     @property
     def mode(self) -> str:
@@ -379,10 +463,23 @@ def _make_engine(cfg: RunConfig, dense: DenseIndex):
             raise ValueError("occ engine needs sigma <= 15 and n under the "
                              "gather row-count cliff (use engine=layered)")
         arrays, meta, host = occblock.build_occblock(dense)
+    elif cfg.engine == "bits" or (
+            cfg.engine == "auto" and cfg.mode == "pml" and not cfg.use_doc
+            and _blockbits_eligible(dense)):
+        from .engine import blockbits
+        if not blockbits.eligible(dense):
+            raise ValueError("block-bits engine needs sigma <= 8 and n under "
+                             "the gather row-count cliff (use engine=layered)")
+        arrays, meta, host = blockbits.build_blockbits(dense)
     else:
         from .engine.layered import build_layered
         arrays, meta, host = build_layered(dense)
     return ScanEngine(arrays, meta, mode=cfg.mode, use_doc=cfg.use_doc, host=host)
+
+
+def _blockbits_eligible(dense: DenseIndex) -> bool:
+    from .engine import blockbits
+    return blockbits.eligible(dense)
 
 
 def _unorder(dense: DenseIndex, field: str):

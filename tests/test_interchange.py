@@ -1,0 +1,112 @@
+"""Reference-format index interchange: 5-byte .bwt.heads/.bwt.len/.thr_pos/
+.ssa/.esa files (common.hpp:59-60, ms_rle_string.hpp:55-68,
+compute_ms_pml.cpp:404-439) must round-trip to an identical index, and the
+import-ref CLI path must produce byte-identical run outputs."""
+
+import os
+import struct
+
+import numpy as np
+
+from spumoni_tpu.native import build_raw_index
+from spumoni_tpu.index.format import build_dense_index
+from spumoni_tpu.index.interchange import (export_reference_index,
+                                           import_reference_index)
+
+from conftest import rand_dna
+
+
+def _raw(rng, n=6000):
+    text = rand_dna(rng, n)
+    tarr = np.frombuffer(text, np.uint8)
+    return text, tarr, build_raw_index(tarr)
+
+
+def test_export_import_roundtrip(tmp_path, rng):
+    text, tarr, raw = _raw(rng)
+    prefix = str(tmp_path / "idx.fa")
+    paths = export_reference_index(raw, prefix)
+    assert [os.path.basename(p) for p in paths] == [
+        "idx.fa.bwt.heads", "idx.fa.bwt.len", "idx.fa.thr_pos",
+        "idx.fa.ssa", "idx.fa.esa"]
+
+    # byte-level layout checks against the reference readers' expectations
+    heads = open(prefix + ".bwt.heads", "rb").read()
+    assert len(heads) == raw.r                       # one byte per run
+    lens = open(prefix + ".bwt.len", "rb").read()
+    assert len(lens) == 5 * raw.r                    # THRBYTES=5
+    first_len = struct.unpack("<Q", lens[:5] + b"\0\0\0")[0]
+    starts = np.asarray(raw.run_starts)
+    assert first_len == (starts[1] if raw.r > 1 else raw.n)
+    ssa = open(prefix + ".ssa", "rb").read()
+    assert len(ssa) == 10 * raw.r                    # (pos, sa) 5-byte pairs
+    sa0 = struct.unpack("<Q", ssa[5:10] + b"\0\0\0")[0]
+    assert sa0 == int(np.asarray(raw.samples_start)[0])
+
+    imp = import_reference_index(prefix)
+    assert imp.n == raw.n and imp.r == raw.r
+    assert np.array_equal(imp.run_heads, np.asarray(raw.run_heads))
+    assert np.array_equal(imp.run_starts, starts)
+    assert np.array_equal(imp.thresholds, np.asarray(raw.thresholds))
+    assert np.array_equal(imp.samples_start, np.asarray(raw.samples_start))
+    assert np.array_equal(imp.samples_last, np.asarray(raw.samples_last))
+
+    # dense indexes built from both sources are identical
+    d1 = build_dense_index(raw, text=tarr, with_samples=True)
+    d2 = build_dense_index(imp, text=tarr, with_samples=True)
+    for f in ("F", "cnt", "char_off", "c_start", "c_len", "c_cum", "c_thr",
+              "c_ssamp", "c_esamp"):
+        assert np.array_equal(getattr(d1, f), getattr(d2, f)), f
+
+
+def test_import_applies_terminator_coercion(tmp_path, rng):
+    """Chars <= 1 in .bwt.heads must coerce to TERMINATOR=1 at load
+    (ms_rle_string.hpp:66-68)."""
+    text, tarr, raw = _raw(rng, 500)
+    prefix = str(tmp_path / "x.fa")
+    export_reference_index(raw, prefix)
+    heads = bytearray(open(prefix + ".bwt.heads", "rb").read())
+    ti = heads.index(1)       # the terminator run
+    heads[ti] = 0             # a reference builder may write 0 here
+    with open(prefix + ".bwt.heads", "wb") as f:
+        f.write(bytes(heads))
+    imp = import_reference_index(prefix)
+    assert imp.run_heads[ti] == 1
+
+
+def test_import_ref_cli_end_to_end(tmp_path, rng):
+    """build --emit-ref-formats -> wipe the native indexes -> import-ref ->
+    run: outputs must be byte-identical to the direct build's run."""
+    from spumoni_tpu.cli import main as cli_main
+
+    genome = rand_dna(rng, 9000)
+    ref = str(tmp_path / "genome.fa")
+    with open(ref, "w") as f:
+        f.write(">chr\n" + genome.decode() + "\n")
+    reads = str(tmp_path / "reads.fa")
+    with open(reads, "w") as f:
+        for i in range(6):
+            st = int(rng.integers(0, len(genome) - 200))
+            f.write(f">r{i}\n" + genome[st:st + 200].decode() + "\n")
+    prefix = str(tmp_path / "idx")
+
+    assert cli_main(["build", "-r", ref, "-o", prefix, "-P", "-n", "-k",
+                     "--emit-ref-formats"]) == 0
+    assert os.path.exists(prefix + ".fa.bwt.heads")
+    assert cli_main(["run", "-r", prefix, "-p", reads, "-P", "-n", "-c",
+                     "--device", "cpu"]) == 0
+    direct_vals = open(reads + ".pseudo_lengths").read()
+    direct_rep = open(reads + ".report").read()
+
+    # wipe the native indexes + nulldb products, keep the 5-byte files
+    for ext in (".fa.thrbv.spumoni.npz", ".fa.thrbv.spumoni.json",
+                ".fa.pmlnulldb.npz", ".fa.pmlnulldb.json"):
+        os.remove(prefix + ext)
+    for out in (".pseudo_lengths", ".report"):
+        os.remove(reads + out)
+
+    assert cli_main(["import-ref", "-r", prefix + ".fa", "-P"]) == 0
+    assert cli_main(["run", "-r", prefix, "-p", reads, "-P", "-n", "-c",
+                     "--device", "cpu"]) == 0
+    assert open(reads + ".pseudo_lengths").read() == direct_vals
+    assert open(reads + ".report").read() == direct_rep

@@ -117,3 +117,58 @@ def test_pfp_save_formats(rng, tmp_path):
     assert parse.min() >= 1 and parse.max() <= p.num_phrases
     d = np.fromfile(prefix + ".dict", dtype=np.uint8)
     assert np.array_equal(d, p.dict_concat)
+
+
+def test_save_dicz_normal(tmp_path, rng):
+    """compress_dictionary equivalence: .dicz holds each lex-ordered phrase
+    minus its w-char trigger suffix; .dicz.len the 4-byte lengths."""
+    text = np.frombuffer(rand_dna(rng, 3000), np.uint8)
+    pfp = pfp_parse(text, w=10, mod=20)
+    prefix = str(tmp_path / "t")
+    pfp.save(prefix)
+    pfp.save_dicz(prefix)
+    lens = np.fromfile(prefix + ".dicz.len", dtype="<i4")
+    dicz = np.fromfile(prefix + ".dicz", dtype=np.uint8)
+    start = 1 if int(pfp.dict_len[0]) == pfp.w else 0
+    assert len(lens) == pfp.num_phrases - start
+    assert lens.sum() == len(dicz)
+    off = 0
+    for i in range(start, pfp.num_phrases):
+        ph = pfp.phrase(i)
+        want = ph[:-pfp.w]
+        assert lens[i - start] == len(want)
+        assert dicz[off:off + len(want)].tobytes() == want
+        off += len(want)
+
+
+def test_save_dicz_empty_first_phrase(tmp_path):
+    """The empty-first-phrase rewrite (compress_dictionary.cpp:129-167):
+    phrase 1 is exactly one trigger string -> skipped, and .parse is
+    rewritten with all ids shifted down (old file kept)."""
+    import os
+    from spumoni_tpu.native import PfpParse
+
+    w = 3
+    # dict: ["abc" (pure trigger), "abcxyzabc", "abczabc"] lex-ordered-ish
+    phrases = [b"abc", b"abcxyzabc", b"abczabc"]
+    concat = b"".join(p + b"\x01" for p in phrases) + b"\x00"
+    off, ln, pos = [], [], 0
+    for p in phrases:
+        off.append(pos)
+        ln.append(len(p))
+        pos += len(p) + 1
+    pfp = PfpParse(np.frombuffer(concat, np.uint8), np.array(off),
+                   np.array(ln), np.array([1, 2, 1]),
+                   np.array([1, 2, 3, 2], dtype=np.int32), w, 20)
+    prefix = str(tmp_path / "e")
+    pfp.save(prefix)
+    pfp.save_dicz(prefix)
+    lens = np.fromfile(prefix + ".dicz.len", dtype="<i4")
+    assert lens.tolist() == [6, 4]          # trigger stripped, phrase 0 gone
+    dicz = np.fromfile(prefix + ".dicz", dtype=np.uint8).tobytes()
+    assert dicz == b"abcxyz" + b"abcz"
+    new_parse = np.fromfile(prefix + ".parse", dtype="<i4")
+    assert new_parse.tolist() == [1, 2, 1]  # dropped leading 1, shifted down
+    assert os.path.exists(prefix + ".parse_with_empty_phrase")
+    old = np.fromfile(prefix + ".parse_with_empty_phrase", dtype="<i4")
+    assert old.tolist() == [1, 2, 3, 2]
