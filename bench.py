@@ -5,12 +5,13 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
 Workload (mirrors BASELINE.json config 3, pangenome classification):
-  * synthetic 5-strain pangenome (5 x 1 Mbp, 1% divergence) -> ~3.7M-run index
-  * 4096 nanopore-like reads of 1024 bp (half mutated substrings @ 8% error,
+  * synthetic 5-strain pangenome (5 x 1 Mbp, 1% divergence) -> ~1M-run index
+  * 131072 nanopore-like reads of 1024 bp (half mutated substrings @ 8% error,
     half random) per batch
-  * measured path: device-resident reads -> lockstep PML scan (engine v2,
-    layered 64-ary search + fused per-char MXU lookup) -> on-device bin-max classification -> per-read
-    verdict summaries to host (O(B) transfer)
+  * measured path: device-resident reads -> lockstep PML scan (engine v4
+    block-bits: ONE 208-byte occ/char/threshold-bit row gather per step +
+    SWAR popcount rank, blockbits.py) -> on-device bin-max classification ->
+    per-read verdict summaries to host (O(B) transfer)
 
 Baseline: the in-repo native CPU engine (same recurrence as reference
 SPUMONI's query loop, rank/select via binary search), measured with all local
@@ -31,7 +32,7 @@ import numpy as np
 CACHE = os.path.join(os.path.expanduser("~"), ".cache", "spumoni_tpu", "bench")
 N_STRAINS = 5
 STRAIN_LEN = 1_000_000
-B, L = 65536, 1024
+B, L = 131072, 1024
 BASELINE_THREADS = 32
 
 
@@ -84,22 +85,22 @@ def bench_tpu(raw, text, rng):
     import jax
     import jax.numpy as jnp
     from spumoni_tpu.index.format import build_dense_index
-    from spumoni_tpu.engine.layered import build_layered
+    from spumoni_tpu.engine.blockbits import build_blockbits
     from spumoni_tpu.parallel.mesh import fused_classify_kernel
 
     dense = build_dense_index(raw)
-    arrays, meta, host = build_layered(dense)
+    arrays, meta, host = build_blockbits(dense)
 
     reads = make_reads(rng, text, B, L)
     rev = np.ascontiguousarray(reads[:, ::-1])
-    # reduced-alphabet fused lookup: rank-map reads on the host
-    alphabet = tuple(sorted(set(host.index_chars) | {0}))
+    # block-bits reads are query-rank mapped on the host
+    alphabet = tuple(sorted({0} | set(int(x) for x in np.unique(rev))))
     planes = host.planes_for_alphabet(alphabet)
     rev = host.rank_map(alphabet)[rev]
     lens = np.full((B,), L, dtype=np.int64)
 
     bin_width, thr = 150, 7
-    rp = int(arrays.fields.shape[0])
+    rp = int(arrays.bblocks.shape[0])
 
     def step(rev_d, lens_d):
         return fused_classify_kernel(arrays, rev_d, lens_d, thr, meta, "pml",

@@ -559,6 +559,83 @@ struct RunAccumulator {
 
 }  // namespace
 
+// Worker-local accumulator for the PARALLEL class sweep: reproduces
+// RunAccumulator's per-emission state machine over one dict-SA segment and
+// exports exactly the data seam-stitching needs:
+//   * first_lcp — the lcp it assigned to its local emission 0; the stitcher
+//     min-folds the cross-seam carry into it (every cross-seam LCP effect
+//     reaches the stream through that single value);
+//   * per-char head snapshots — leftmost-argmin of the local lcp stream over
+//     [1 .. first local c-run start], so the threshold of each char's FIRST
+//     local run (whose window begins at the previous GLOBAL c-run end) can
+//     be recomposed;
+//   * per-char tail trackers (the plain RunAccumulator trackers at stream
+//     end) and a whole-stream tracker for chars with no local runs;
+//   * pending/empty-carry end state — the sequential machine's chain value
+//     entering the next segment.
+struct LocalAcc {
+    std::vector<u8>  heads;
+    std::vector<i64> starts, ssamp, esamp, thr;
+    i64 ec = 0;
+    int last_char = -1;
+    i64 last_end[256];
+    i64 best_val[256], best_pos[256];
+    bool has_closed[256];
+    std::vector<u8> seen;
+    static const i64 INF = (i64)1 << 62;
+    // whole-stream leftmost-min over local emissions >= 1
+    i64 all_val = INF, all_pos = -1;
+    // snapshot of (all_val, all_pos) when each char's FIRST local run opens
+    i64 head_val[256], head_pos[256];
+    bool has_head[256];
+    i64 first_lcp = -1;
+    // class-loop chain state at segment end (filled by the sweep loop)
+    i64 pending_end = INF, empty_carry_end = INF;
+
+    LocalAcc() {
+        for (int c = 0; c < 256; ++c) {
+            has_closed[c] = false;
+            has_head[c] = false;
+        }
+    }
+    void emit(u8 c, i64 sa, i64 lcp) {
+        if (ec == 0) first_lcp = lcp;
+        if (ec > 0) {
+            if (lcp < all_val) { all_val = lcp; all_pos = ec; }
+            if (c != (int)last_char) {
+                if (!has_closed[last_char]) {
+                    has_closed[last_char] = true;
+                    seen.push_back((u8)last_char);
+                }
+                last_end[last_char] = ec - 1;
+            }
+            for (u8 cc : seen) {
+                if (ec == last_end[cc] + 1) {
+                    best_val[cc] = lcp; best_pos[cc] = ec;
+                } else if (lcp < best_val[cc]) {
+                    best_val[cc] = lcp; best_pos[cc] = ec;
+                }
+            }
+        }
+        if ((int)c != last_char) {
+            if (!has_head[c]) {
+                has_head[c] = true;
+                head_val[c] = all_val;
+                head_pos[c] = all_pos;
+            }
+            heads.push_back(c);
+            starts.push_back(ec);
+            ssamp.push_back(sa);
+            esamp.push_back(sa);
+            thr.push_back(has_closed[c] ? best_pos[c] : 0);
+        } else {
+            esamp.back() = sa;
+        }
+        last_char = c;
+        ++ec;
+    }
+};
+
 static SpnIndex* spn_build_pfp_core(const u8* text, i64 n_text, int w,
                                     int mod) {
     const bool dbg_t = std::getenv("SPN_DEBUG_TIME") != nullptr;

@@ -1,0 +1,366 @@
+"""Block-bits engine — engine v4: ONE slim row gather per PML step.
+
+Engine v3 (occblock.py) already reached one gather per step, but its rows
+carry per-occurrence threshold VALUES (P i32 words — 512 B of the 644 B row)
+and the threshold test forces a one-step deferred "candidate" pipeline.
+Measured on v5e that lost to v2: wide rows gather slower and the [B, P]-wide
+selects over the fat row cost ~300 us of VPU time.
+
+This engine removes both costs with one observation about the PML recurrence
+(/root/reference/src/compute_ms_pml.cpp:237-286): the threshold only ever
+feeds the single comparison `pos < thr`, where thr is the threshold of the
+run containing the NEXT c-occurrence at/after pos. That predicate is a pure
+function of (c, pos) — so it is precomputed at build time as ONE BIT per
+(character, position). The absolute select() positions are never needed for
+PML at all, because the LF of every outcome collapses to arithmetic:
+
+    match      -> new_pos = F[c] + rank(pos, c)          (length + 1)
+    jump down  -> new_pos = F[c] + rank(pos, c)          (length = 0)
+    jump up    -> new_pos = F[c] + rank(pos, c) - 1      (length = 0)
+
+(rank(j, c) at j = select(k, c) is k by definition, so LF(select(k,c), c)
+= F[c] + k; the reference reaches the same values through select + rank,
+compute_ms_pml.cpp:253-284.)
+
+A step therefore needs only: bwt[pos], F[c] + rank(pos, c), `has_next`
+(= F[c]+rank < F[c]+cnt), and the up/down bit — all of which fit in one
+slim row per P BWT positions:
+
+    cp slots      F-space occ checkpoints per packed char code
+                  (cp[code] = F[char] + occ(char, block_start))
+    char words    the block's characters, 2- or 4-bit codes
+    bit words     up-bits: bit (c, pos) = pos < thr_next(c, pos)
+
+In-block rank is computed WITHOUT unpacking the chars to [B, P] lanes: a
+SWAR equality mask on the packed words (per code slot: all bits of the
+code's group zero after xor) + `lax.population_count`, with the position
+cutoff folded into the popcount mask — [B, P/16] element work instead of
+[B, P].
+
+Packing variants:
+  * pack=4 — up to 8 distinct BWT characters, 4-bit codes.
+  * pack=2 — up to 4 distinct characters + the BWT terminator (the DNA
+    case). The terminator (exactly one occurrence, byte 1, coerced by the
+    builder like ms_rle_string.hpp:66-68) aliases code 0 at its single
+    position; the kernel corrects rank/match with three static-scalar
+    comparisons, and terminator QUERIES (rank/match/threshold of a
+    single-run character) are answered entirely from those scalars.
+
+Per step: 1 row gather + ~15 [B, P/16] VPU ops + the per-char constant
+one-hot matmul (MXU). No deferral: the carry is just (pos, length).
+
+PML-only by design: MS jumps consume per-run SA samples (values, not
+predicates) — MS queries use engine v2/v3. Row count = ceil(n/P) and row
+width trade off against the v5e gather cliff; P is chosen per index size.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .occblock import MAX_SIGMA, OccHost, ROW_CLIFF
+
+MAX_SIGMA4 = 8   # pack=4: 8 cp slots
+MAX_SIGMA2 = 4   # pack=2: 4 cp slots (+ aliased terminator)
+TERM_BYTE = 1    # coerced BWT terminator (ms_rle_string.hpp:21,66-68)
+TERM_CODE = 14   # query-rank code for "the terminator character"
+
+
+class BitArrays(NamedTuple):
+    bblocks: jnp.ndarray   # [nb, W] i32 rows (layout above)
+    n: jnp.ndarray
+    last_run_sample: jnp.ndarray   # carried for initial_state compat
+    last_run_edoc: jnp.ndarray
+    first_run_sdoc: jnp.ndarray
+    text: Optional[jnp.ndarray] = None  # unused (PML never extends)
+
+
+class BitMeta(NamedTuple):
+    P: int
+    width: int
+    sigma: int
+    pack: int              # bits per stored char: 2 or 4
+    dtype: str
+    # pack=2 terminator scalars (baked into the jitted step: BitMeta is a
+    # static jit argument)
+    term_pos: int = -1
+    term_code: int = 0
+    F_term: int = 0
+    has_samples: bool = False
+    has_doc: bool = False
+    has_text: bool = False
+
+
+def _pack_of(idx) -> Optional[int]:
+    cnt = np.asarray(idx.cnt)
+    chars = np.nonzero(cnt)[0]
+    real = [c for c in chars if c != TERM_BYTE]
+    if len(real) <= MAX_SIGMA2 and cnt[TERM_BYTE] <= 1:
+        return 2
+    if len(chars) <= MAX_SIGMA4:
+        return 4
+    return None
+
+
+def pick_P(n: int, pack: int) -> Optional[int]:
+    # fewer rows measures faster on v5e until row width passes ~256 B;
+    # prefer the largest P whose row stays around that, then row count
+    best = None
+    for P in (64, 128, 256, 512):
+        if -(-n // P) > ROW_CLIFF:
+            continue
+        if _width(P, pack) * 4 > 512:
+            continue
+        best = P
+    return best
+
+
+def _width(P: int, pack: int) -> int:
+    if pack == 2:
+        return MAX_SIGMA2 + P // 16 + MAX_SIGMA2 * (P // 32)
+    return MAX_SIGMA4 + P // 8 + MAX_SIGMA4 * (P // 32)
+
+
+def eligible(idx) -> bool:
+    pack = _pack_of(idx)
+    return pack is not None and pick_P(int(idx.n), pack) is not None
+
+
+def build_blockbits(idx, P: Optional[int] = None, pack: Optional[int] = None):
+    """DenseIndex -> (BitArrays on device, BitMeta, OccHost)."""
+    n = int(idx.n)
+    assert n < 2**31, "block-bits engine is int32-only (use engine v2)"
+    if pack is None:
+        pack = _pack_of(idx)
+        assert pack is not None, "alphabet too large for block-bits"
+    if P is None:
+        P = pick_P(n, pack)
+        assert P is not None, "n too large for block-bits (use engine v2)"
+    assert P % 32 == 0 and P & (P - 1) == 0
+
+    cnt = np.asarray(idx.cnt, dtype=np.int64)
+    F = np.asarray(idx.F, dtype=np.int64)
+    index_chars = np.nonzero(cnt)[0]
+    nslots = MAX_SIGMA2 if pack == 2 else MAX_SIGMA4
+
+    term_pos, term_code, F_term = -1, 0, 0
+    if pack == 2:
+        code_chars = np.asarray(
+            [c for c in index_chars if c != TERM_BYTE], dtype=np.int64)
+        assert len(code_chars) <= MAX_SIGMA2 and cnt[TERM_BYTE] <= 1
+    else:
+        code_chars = np.asarray(index_chars, dtype=np.int64)
+        assert len(code_chars) <= MAX_SIGMA4
+    sigma = len(index_chars)
+
+    rmap = np.full(256, MAX_SIGMA, dtype=np.uint8)
+    rmap[code_chars] = np.arange(len(code_chars), dtype=np.uint8)
+    if pack == 2 and cnt[TERM_BYTE]:
+        rmap[TERM_BYTE] = TERM_CODE
+
+    run_heads = np.asarray(idx.run_heads, dtype=np.uint8)
+    run_starts = np.asarray(idx.run_starts, dtype=np.int64)
+    run_len_rm = np.diff(np.concatenate([run_starts, [n]]))
+    bwt_bytes = np.repeat(run_heads, run_len_rm)            # [n]
+
+    nb = -(-n // P)
+    padlen = nb * P - n
+    if padlen:
+        bwt_bytes = np.concatenate(
+            [bwt_bytes, np.zeros(padlen, dtype=np.uint8)])  # byte 0: no code
+
+    codes = rmap[bwt_bytes]
+    if pack == 2 and cnt[TERM_BYTE]:
+        term_pos = int(np.nonzero(bwt_bytes == TERM_BYTE)[0][0])
+        term_code = 0
+        F_term = int(F[TERM_BYTE])
+        codes[term_pos] = term_code                         # alias
+        # block padding + any non-code byte: alias code 0 as well; they are
+        # excluded from rank by the true-count checkpoints only if absent —
+        # assert the text has none besides the terminator
+        assert set(np.unique(bwt_bytes)) <= (
+            set(code_chars.tolist()) | {TERM_BYTE} | ({0} if padlen else set()))
+        codes[bwt_bytes == 0] = 3 if len(code_chars) < 4 else term_code
+        # NOTE: pad positions are never gathered for rank at offsets < off
+        # with pos < n, and pos <= n-1 always, so pad aliasing is inert
+        # except inside the LAST block past offset (n-1)%P — unreachable.
+    else:
+        codes = np.where(codes == MAX_SIGMA, MAX_SIGMA, codes)
+
+    blocks2d = codes.reshape(nb, P)
+
+    # occ checkpoints in F-space from TRUE characters (alias-free):
+    # cp[b][k] = F[char_k] + occ(char_k, b*P)
+    bb2d = bwt_bytes.reshape(nb, P)
+    cp = np.zeros((nb, nslots), dtype=np.int64)
+    bc = np.zeros((nb, nslots), dtype=np.int64)
+    for k, ch in enumerate(code_chars):
+        bc[:, k] = (bb2d == ch).sum(axis=1)
+    cp[1:] = np.cumsum(bc, axis=0)[:-1]
+    cp[:, :len(code_chars)] += F[code_chars][None, :]
+
+    # characters, pack-bit codes, little-endian within each i32 word
+    per_word = 32 // pack
+    nwcw = P // per_word
+    words = np.zeros((nb, nwcw), dtype=np.uint32)
+    for j in range(per_word):
+        words += (blocks2d[:, j::per_word].astype(np.uint32)
+                  & ((1 << pack) - 1)) << (pack * j)
+    words = words.view(np.int32).astype(np.int64)
+
+    # up-bits: bit (k, pos) = pos < threshold of the run containing the
+    # next occurrence of code-char k at/after pos (the `pos < thr` branch
+    # of compute_ms_pml.cpp:270-277). Positions past the last run get 1
+    # (don't-care: the kernel forces jump-up when has_next is false).
+    char_off = np.asarray(idx.char_off, dtype=np.int64)
+    c_start = np.asarray(idx.c_start, dtype=np.int64)
+    c_thr = np.asarray(idx.c_thr, dtype=np.int64)
+    wpc = P // 32
+    allpos = np.arange(nb * P, dtype=np.int64)
+    bit_words = np.zeros((nb, nslots * wpc), dtype=np.uint32)
+    shifts = np.arange(32, dtype=np.uint32)
+    for k, ch in enumerate(code_chars):
+        lo, hi = char_off[ch], char_off[ch + 1]
+        cs, th = c_start[lo:hi], c_thr[lo:hi]
+        ridx = np.searchsorted(cs, allpos, side="right")
+        past = ridx >= len(cs)
+        up = np.where(past, True,
+                      allpos < th[np.minimum(ridx, len(cs) - 1)])
+        upw = up.reshape(-1, 32).astype(np.uint32)
+        packed = (upw << shifts[None, :]).sum(axis=1, dtype=np.uint32)
+        bit_words[:, k * wpc:(k + 1) * wpc] = packed.reshape(nb, wpc)
+    bit_words = bit_words.view(np.int32).astype(np.int64)
+
+    rows = np.concatenate([cp, words, bit_words], axis=1)
+    W = rows.shape[1]
+    assert W == _width(P, pack)
+
+    arrays = BitArrays(
+        bblocks=jnp.asarray(rows.astype(np.int32)),
+        n=jnp.asarray(np.asarray(n, dtype=np.int32)),
+        last_run_sample=jnp.asarray(
+            np.asarray(idx.last_run_sample, dtype=np.int32)),
+        last_run_edoc=jnp.asarray(np.asarray(idx.last_run_edoc, np.int32)),
+        first_run_sdoc=jnp.asarray(np.asarray(idx.first_run_sdoc, np.int32)),
+    )
+    meta = BitMeta(P=P, width=W, sigma=sigma, pack=pack, dtype="int32",
+                   term_pos=term_pos, term_code=term_code, F_term=F_term)
+    # F/Fnext tables indexed by QUERY-RANK CODE (OccHost.planes_for_alphabet
+    # indexes Fnext_sigma[rmap[byte]]); slot TERM_CODE serves the terminator
+    f_by_code = np.zeros(16, dtype=np.int64)
+    fnext_by_code = np.zeros(16, dtype=np.int64)
+    for k, ch in enumerate(code_chars):
+        f_by_code[k] = F[ch]
+        fnext_by_code[k] = F[ch] + cnt[ch]
+    if pack == 2 and cnt[TERM_BYTE]:
+        f_by_code[TERM_CODE] = F_term
+        fnext_by_code[TERM_CODE] = F_term + cnt[TERM_BYTE]
+    host = OccHost(F_all=F, cnt_all=cnt, rmap=rmap,
+                   F_sigma=f_by_code, Fnext_sigma=fnext_by_code,
+                   index_chars=tuple(int(c) for c in index_chars))
+    return arrays, meta, host
+
+
+def make_blockbits_step_fn(meta: BitMeta, mode: str, use_doc: bool):
+    """One backward PML step. carry = (pos, length, sample, doc) for state
+    compatibility with the other engines; sample/doc pass through. chars
+    must be QUERY-rank mapped; `planes` are OccHost.planes_for_alphabet."""
+    assert mode == "pml" and not use_doc, "block-bits engine is PML-only"
+    P, pack = meta.P, meta.pack
+    logP = int(math.log2(P))
+    nslots = MAX_SIGMA2 if pack == 2 else MAX_SIGMA4
+    per_word = 32 // pack
+    logW = int(math.log2(per_word))
+    nwcw = P // per_word
+    wpc = P // 32
+    C0, W0, T0 = 0, nslots, nslots + nwcw
+    # SWAR constants: per-code-group LSB mask for this packing
+    lsb = int(sum(1 << (pack * j) for j in range(per_word)))  # 0x111../0x555..
+
+    def step(ix: BitArrays, carry, qc, planes):
+        pos, length, sample, doc = carry
+        dt = pos.dtype
+        B = pos.shape[0]
+
+        # per-char constants via one-hot MXU matmul on 8-bit planes
+        sq = planes[0].shape[0]
+        onehot = (qc.astype(dt)[:, None] == jnp.arange(sq, dtype=dt)[None, :]
+                  ).astype(jnp.float32)
+        acc = jnp.zeros((B, planes[0].shape[1]), dtype=dt)
+        for p, plane in enumerate(planes):
+            part = jnp.dot(onehot, plane, preferred_element_type=jnp.float32)
+            acc = acc + (part.astype(dt) << (8 * p))
+        c_blk, empty_i, Fb, Fnext = acc[:, 0], acc[:, 1], acc[:, 2], acc[:, 3]
+        empty = empty_i == 1
+        rk = jnp.clip(c_blk, 0, nslots - 1)
+
+        # THE gather
+        nb = ix.bblocks.shape[0]
+        blk = pos >> logP
+        row = ix.bblocks[jnp.clip(blk, 0, nb - 1)]              # [B, W]
+        off = pos & (P - 1)
+
+        # SWAR rank over packed char words: group == code  <=>  all bits of
+        # (word ^ code*lsb) in the group are zero
+        words = row[:, W0:W0 + nwcw]                            # [B, nwcw]
+        y = words ^ (rk * lsb)[:, None]
+        z = y | (y >> 1)
+        if pack == 4:
+            z = z | (y >> 2) | (y >> 3)
+        m = ~z & lsb                                            # match mask
+        # position cutoff folded into the popcount mask
+        wsel = off >> logW
+        widx = jnp.arange(nwcw, dtype=dt)[None, :]
+        lowmask = (1 << ((off & (per_word - 1)) * pack)) - 1
+        mm = jnp.where(widx < wsel[:, None], m,
+             jnp.where(widx == wsel[:, None], m & lowmask[:, None], 0))
+        inblock = jnp.sum(jax.lax.population_count(mm), axis=1).astype(dt)
+        # char at pos: select the word, shift the group out
+        selw = (widx == wsel[:, None])
+        w_at = jnp.sum(jnp.where(selw, words, 0), axis=1).astype(dt)
+        nib = (w_at >> ((off & (per_word - 1)) * pack)) & ((1 << pack) - 1)
+        at_pos = nib == rk
+
+        # occ checkpoint select
+        sel8 = (jnp.arange(nslots, dtype=dt)[None, :] == rk[:, None])
+        cp_sel = jnp.sum(jnp.where(sel8, row[:, C0:C0 + nslots], 0),
+                         axis=1).astype(dt)
+
+        # up/down bit for char c at offset `off`
+        bidx = rk * wpc + (off >> 5)
+        selb = (jnp.arange(nslots * wpc, dtype=dt)[None, :] == bidx[:, None])
+        word = jnp.sum(jnp.where(selb, row[:, T0:T0 + nslots * wpc], 0),
+                       axis=1).astype(dt)
+        up_bit = (word >> (off & 31)) & 1
+
+        if pack == 2 and meta.term_pos >= 0:
+            # correct the single terminator alias with static scalars
+            tb, to = meta.term_pos >> logP, meta.term_pos & (P - 1)
+            at_term_blk = blk == tb
+            inblock = inblock - (at_term_blk & (rk == meta.term_code)
+                                 & (to < off)).astype(dt)
+            at_pos = at_pos & ~(at_term_blk & (off == to))
+            # terminator QUERIES: single run, threshold 0 (first-run rule)
+            is_tq = c_blk == TERM_CODE
+            inblock = jnp.where(is_tq, (pos > meta.term_pos).astype(dt),
+                                inblock)
+            at_pos = jnp.where(is_tq, pos == meta.term_pos, at_pos)
+            cp_sel = jnp.where(is_tq, meta.F_term, cp_sel)
+            up_bit = jnp.where(is_tq, 0, up_bit)
+
+        A = cp_sel + inblock                                    # F[c] + rank
+        is_match = ~empty & at_pos
+        has_next = A < Fnext
+        jump_up = ~empty & ~is_match & (~has_next | (up_bit == 1))
+
+        new_length = jnp.where(is_match, length + 1, 0)
+        new_pos = jnp.where(empty, Fb, A - jump_up.astype(dt))
+
+        return (new_pos, new_length, sample, doc), (new_length, doc)
+
+    return step

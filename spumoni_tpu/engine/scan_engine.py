@@ -100,7 +100,9 @@ def make_step_fn(meta: IndexMeta, mode: str, use_doc: bool, r: int):
 def initial_state(ix, B: int):
     """Recurrence seed: empty pattern at the last BWT row
     (compute_ms_pml.cpp:243-244,574-575)."""
-    dt = (ix.fields if hasattr(ix, "fields") else ix.c_start).dtype
+    dt = (ix.fields if hasattr(ix, "fields")
+          else ix.bblocks if hasattr(ix, "bblocks")
+          else ix.c_start).dtype
     return (jnp.full((B,), ix.n - 1, dtype=dt),
             jnp.zeros((B,), dtype=dt),
             jnp.full((B,), ix.last_run_sample, dtype=dt),
@@ -130,6 +132,23 @@ def query_batch_kernel_v2(ix, reads_rev: jnp.ndarray, meta, mode: str,
     state, (vals, docs) = jax.lax.scan(
         lambda carry, ch: step(ix, carry, ch, planes), state, xs)
     return vals.T, (docs.T if use_doc else None), state
+
+
+@functools.partial(jax.jit, static_argnames=("meta",))
+def query_batch_kernel_v4(ix, reads_rev: jnp.ndarray, meta, planes,
+                          state=None):
+    """Block-bits variant (engine v4, see blockbits.py): PML only, one slim
+    row gather per step, no emit lag. reads_rev must be QUERY-rank mapped
+    (OccHost.rank_map). Returns (vals, state)."""
+    from .blockbits import make_blockbits_step_fn
+
+    B = reads_rev.shape[0]
+    step = make_blockbits_step_fn(meta, "pml", False)
+    if state is None:
+        state = initial_state(ix, B)
+    state, (vals, _) = jax.lax.scan(
+        lambda carry, ch: step(ix, carry, ch, planes), state, reads_rev.T)
+    return vals.T, state
 
 
 @functools.partial(
@@ -275,11 +294,16 @@ class ScanEngine:
         self.pad_to = pad_to
         self.layered = hasattr(arrays, "fields")
         self.occ = hasattr(arrays, "blocks")
-        if self.occ and host is None:
-            raise ValueError("occ-block engine requires its OccHost")
-        self.host = host if (self.layered or self.occ) else None
+        self.bits = hasattr(arrays, "bblocks")
+        if self.bits and (mode != "pml" or use_doc):
+            raise ValueError("block-bits engine is PML-only without doc "
+                             "tracking (use engine=layered)")
+        if (self.occ or self.bits) and host is None:
+            raise ValueError("occ/block-bits engines require their OccHost")
+        self.host = host if (self.layered or self.occ or self.bits) else None
         self.r = int(arrays.fields.shape[0] if self.layered
                      else arrays.blocks.shape[0] if self.occ
+                     else arrays.bblocks.shape[0] if self.bits
                      else arrays.c_start.shape[0])
         self.nt = int(arrays.text.shape[0]) if arrays.text is not None else 0
 
@@ -303,7 +327,25 @@ class ScanEngine:
             fwd[i, :len(a)] = a
             rev[i, :len(a)] = a[::-1]
             lens[i] = len(a)
-        if self.occ:
+        if self.bits:
+            alphabet = tuple(sorted(
+                {0} | set(int(x) for x in np.unique(rev))))
+            planes = self.host.planes_for_alphabet(alphabet)
+            revm = self.host.rank_map(alphabet)[rev]
+            if L > self.chunk:
+                state = initial_state(self.arrays, revm.shape[0])
+                v_parts = []
+                for c0 in range(0, L, self.chunk):
+                    v, state = query_batch_kernel_v4(
+                        self.arrays, jnp.asarray(revm[:, c0:c0 + self.chunk]),
+                        self.meta, planes, state)
+                    v_parts.append(np.asarray(v))
+                vals = np.concatenate(v_parts, axis=1)
+            else:
+                vals, _ = query_batch_kernel_v4(
+                    self.arrays, jnp.asarray(revm), self.meta, planes)
+            docs = None
+        elif self.occ:
             from .occblock import occ_initial_state
             alphabet = tuple(sorted(
                 {0} | set(int(x) for x in np.unique(rev))))

@@ -42,6 +42,9 @@ def replicate_index(arrays, mesh: Mesh):
 
 
 def _step_fn_for(arrays, meta, mode, use_doc, r):
+    if hasattr(arrays, "bblocks"):
+        from ..engine.blockbits import make_blockbits_step_fn
+        return make_blockbits_step_fn(meta, mode, use_doc)
     if hasattr(arrays, "blocks"):
         return make_occ_step_fn(meta, mode, use_doc)
     if isinstance(arrays, LayeredArrays) or hasattr(arrays, "fields"):
@@ -50,9 +53,16 @@ def _step_fn_for(arrays, meta, mode, use_doc, r):
 
 
 def _dtype_of(ix):
+    if hasattr(ix, "bblocks"):
+        return ix.bblocks.dtype
     if hasattr(ix, "blocks"):
         return ix.blocks.dtype
     return (ix.fields if hasattr(ix, "fields") else ix.c_start).dtype
+
+
+def _takes_planes(ix) -> bool:
+    return (hasattr(ix, "bblocks") or hasattr(ix, "blocks")
+            or hasattr(ix, "fields"))
 
 
 def _initial_core(ix, B, dt):
@@ -71,7 +81,7 @@ def _fused_classify_core(ix, reads_rev, lens, max_value_thr, meta,
     B, L = reads_rev.shape
     dt = _dtype_of(ix)
     step = _step_fn_for(ix, meta, mode, False, r)
-    occ = hasattr(ix, "blocks")
+    occ = hasattr(ix, "blocks") or hasattr(ix, "bblocks")
     assert mode == "pml" or not occ, "occ engine: fused classify is PML-only"
 
     lens = lens.astype(dt)
@@ -144,7 +154,7 @@ def sharded_classify_kernel(ix: IndexArrays, reads_rev, lens, max_value_thr,
     B, L = reads_rev.shape
     dt = _dtype_of(ix)
     step = _step_fn_for(ix, meta, mode, use_doc, r)
-    occ = hasattr(ix, "blocks")
+    occ = hasattr(ix, "blocks") or hasattr(ix, "bblocks")
     assert mode == "pml" and not use_doc or not occ
 
     core0 = _initial_core(ix, B, dt)
@@ -152,8 +162,9 @@ def sharded_classify_kernel(ix: IndexArrays, reads_rev, lens, max_value_thr,
         body = lambda carry, ch: step(ix, carry, ch, planes)
     else:
         body = lambda carry, ch: step(ix, carry, ch)
-    _, (vals, _) = jax.lax.scan(body, core0, reads_rev.T)
+    _, (vals, docs) = jax.lax.scan(body, core0, reads_rev.T)
     vals = vals.T  # [B, L] (reversed read order per lane)
+    docs = docs.T if use_doc else None
 
     # classification on the reversed values: window maxima are computed on the
     # un-reversed view via index flip (gather), preserving the tail-merge rule
@@ -177,7 +188,7 @@ def sharded_classify_kernel(ix: IndexArrays, reads_rev, lens, max_value_thr,
     is_read = lens > 0
     found = (above > below) & is_read
     total_found = jnp.sum(found.astype(jnp.int32))
-    return vals, found, above, below, sum_maxes, total_found
+    return vals, docs, found, above, below, sum_maxes, total_found
 
 
 class ShardedPmlClassifier:
@@ -191,10 +202,11 @@ class ShardedPmlClassifier:
         self.arrays = replicate_index(arrays, mesh)
         self.meta = meta
         self.host = host  # Layered/OccHost: enables per-char plane matrices
-        self.occ = hasattr(arrays, "blocks")
+        self.occ = hasattr(arrays, "blocks") or hasattr(arrays, "bblocks")
         if self.occ and host is None:
-            raise ValueError("occ-block engine requires its OccHost")
-        self.r = int(arrays.blocks.shape[0] if self.occ
+            raise ValueError("occ/block-bits engines require their OccHost")
+        self.r = int(arrays.bblocks.shape[0] if hasattr(arrays, "bblocks")
+                     else arrays.blocks.shape[0] if hasattr(arrays, "blocks")
                      else (arrays.fields if hasattr(arrays, "fields")
                            else arrays.c_start).shape[0])
         self.bin_width = bin_width
@@ -255,7 +267,7 @@ class ShardedPmlClassifier:
                 "total_found": int(np.asarray(found)[:nreads].sum()),
             }
         max_bins = max(1, -(-L // self.bin_width))
-        vals, found, above, below, sums, total = sharded_classify_kernel(
+        vals, _, found, above, below, sums, total = sharded_classify_kernel(
             self.arrays, rev_d, lens_d, self.max_value_thr, self.meta, "pml",
             False, self.r, self.bin_width, max_bins, planes)
         out = {

@@ -1,0 +1,145 @@
+"""Engine v4 (block-bits, one slim gather per PML step) must match the
+native engine exactly — including the precomputed up/down threshold bits,
+block-boundary offsets, forced jump-ups past the last c-run, absent
+characters, and chunked long-read state carry."""
+
+import numpy as np
+import pytest
+
+from spumoni_tpu.native import build_raw_index, NativeQueryEngine
+from spumoni_tpu.index.format import build_dense_index
+from spumoni_tpu.engine.blockbits import build_blockbits, eligible
+from spumoni_tpu.engine.scan_engine import ScanEngine
+
+from conftest import rand_dna
+
+
+def _setup(rng, n):
+    text = rand_dna(rng, n)
+    tarr = np.frombuffer(text, np.uint8)
+    raw = build_raw_index(tarr)
+    dense = build_dense_index(raw, text=tarr, with_samples=True)
+    native = NativeQueryEngine(raw.n, raw.run_heads, raw.run_starts,
+                               raw.thresholds, raw.samples_start,
+                               raw.samples_last, text=tarr)
+    return text, dense, native
+
+
+def test_blockbits_pml_matches_native(rng, make_reads):
+    for trial in range(3):
+        text, dense, native = _setup(rng, int(rng.integers(2000, 9000)))
+        assert eligible(dense)
+        arrays, meta, host = build_blockbits(dense)
+        reads = make_reads(rng, text, num=16, max_len=300)
+        reads.append(b"N" * 64)        # cnt==0 (absent char) path
+        reads.append(text[:130])       # exact prefix crossing a block edge
+        reads.append(text[-100:])      # suffix: exercises terminator region
+
+        pml = ScanEngine(arrays, meta, mode="pml", host=host).query(reads)
+        for a, b in zip(pml["lengths"], native.query_pml(reads)):
+            assert np.array_equal(a, b)
+
+
+def test_blockbits_repetitive_text(rng, make_reads):
+    """Highly repetitive text: long runs, thresholds far from run edges."""
+    unit = rand_dna(rng, 400)
+    text = unit * 12 + rand_dna(rng, 500) + unit * 3
+    tarr = np.frombuffer(text, np.uint8)
+    raw = build_raw_index(tarr)
+    dense = build_dense_index(raw)
+    native = NativeQueryEngine(raw.n, raw.run_heads, raw.run_starts,
+                               raw.thresholds, raw.samples_start,
+                               raw.samples_last)
+    arrays, meta, host = build_blockbits(dense)
+    reads = make_reads(rng, text, num=12, max_len=250)
+    reads.append(unit * 2)
+    pml = ScanEngine(arrays, meta, mode="pml", host=host).query(reads)
+    for a, b in zip(pml["lengths"], native.query_pml(reads)):
+        assert np.array_equal(a, b)
+
+
+def test_blockbits_P_and_pack_variants(rng, make_reads):
+    """Every supported (block size, packing) must agree — including the
+    4-bit fallback on a DNA text (terminator as an ordinary code char)."""
+    text, dense, native = _setup(rng, 4000)
+    reads = make_reads(rng, text, num=10, max_len=200)
+    ref = native.query_pml(reads)
+    for P in (32, 64, 128, 256, 512):
+        for pack in (2, 4):
+            arrays, meta, host = build_blockbits(dense, P=P, pack=pack)
+            eng = ScanEngine(arrays, meta, mode="pml", host=host)
+            for a, b in zip(eng.query(reads)["lengths"], ref):
+                assert np.array_equal(a, b), (P, pack)
+
+
+def test_blockbits_wide_alphabet_pack4(rng, make_reads):
+    """A 7-letter text needs the 4-bit packing; eligibility picks it."""
+    from spumoni_tpu.engine.blockbits import _pack_of
+    alpha = b"ACGTWXY"
+    text = bytes(np.frombuffer(alpha, np.uint8)[
+        rng.integers(0, len(alpha), size=6000)])
+    tarr = np.frombuffer(text, np.uint8)
+    from spumoni_tpu.native import build_raw_index, NativeQueryEngine
+    raw = build_raw_index(tarr)
+    dense = build_dense_index(raw)
+    native = NativeQueryEngine(raw.n, raw.run_heads, raw.run_starts,
+                               raw.thresholds, raw.samples_start,
+                               raw.samples_last)
+    assert _pack_of(dense) == 4 and eligible(dense)
+    arrays, meta, host = build_blockbits(dense)
+    assert meta.pack == 4
+    reads = make_reads(rng, text, num=10, max_len=200)
+    pml = ScanEngine(arrays, meta, mode="pml", host=host).query(reads)
+    for a, b in zip(pml["lengths"], native.query_pml(reads)):
+        assert np.array_equal(a, b)
+
+
+def test_blockbits_chunked_long_reads(rng):
+    """Chunk boundaries carry the (pos, length) recurrence state."""
+    text, dense, native = _setup(rng, 20000)
+    arrays, meta, host = build_blockbits(dense)
+    reads = []
+    for m in (900, 1500, 2300):
+        st = int(rng.integers(0, len(text) - m))
+        rd = bytearray(text[st:st + m])
+        for k in range(0, len(rd), 37):
+            rd[k] = ord("ACGT"[int(rng.integers(4))])
+        reads.append(bytes(rd))
+    reads.append(rand_dna(rng, 1700))
+
+    eng = ScanEngine(arrays, meta, mode="pml", host=host, chunk=256)
+    out = eng.query(reads)
+    for a, b in zip(out["lengths"], native.query_pml(reads)):
+        assert np.array_equal(a, b)
+
+
+def test_blockbits_rejects_ms_and_doc(rng):
+    text, dense, native = _setup(rng, 2000)
+    arrays, meta, host = build_blockbits(dense)
+    with pytest.raises(ValueError):
+        ScanEngine(arrays, meta, mode="ms", host=host)
+    with pytest.raises(ValueError):
+        ScanEngine(arrays, meta, mode="pml", use_doc=True, host=host)
+
+
+def test_blockbits_fused_classify_matches_host(rng, make_reads):
+    """The fused scan+binmax kernel over v4 must agree with querying values
+    and classifying on the host."""
+    import jax
+    from spumoni_tpu.classify import binmax
+    from spumoni_tpu.parallel.mesh import (ShardedPmlClassifier,
+                                           make_data_mesh)
+
+    text, dense, native = _setup(rng, 6000)
+    arrays, meta, host = build_blockbits(dense)
+    mesh = make_data_mesh(jax.devices("cpu")[:4])
+    clf = ShardedPmlClassifier(arrays, meta, mesh, bin_width=150,
+                               max_value_thr=5, host=host)
+    reads = make_reads(rng, text, num=9, max_len=400)
+    out = clf.classify(reads, want_values=False)
+    lengths = native.query_pml(reads)
+    for i, rd in enumerate(reads):
+        res = binmax.classify(lengths[i], 150, 5)
+        assert out["above"][i] == res.bins_above, i
+        assert out["below"][i] == res.bins_below, i
+        assert bool(out["found"][i]) == (res.status == "FOUND"), i
