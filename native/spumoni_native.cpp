@@ -582,7 +582,7 @@ struct LocalAcc {
     i64 best_val[256], best_pos[256];
     bool has_closed[256];
     std::vector<u8> seen;
-    static const i64 INF = (i64)1 << 62;
+    static constexpr i64 INF = (i64)1 << 62;
     // whole-stream leftmost-min over local emissions >= 1
     i64 all_val = INF, all_pos = -1;
     // snapshot of (all_val, all_pos) when each char's FIRST local run opens
@@ -637,7 +637,7 @@ struct LocalAcc {
 };
 
 static SpnIndex* spn_build_pfp_core(const u8* text, i64 n_text, int w,
-                                    int mod) {
+                                    int mod, int threads) {
     const bool dbg_t = std::getenv("SPN_DEBUG_TIME") != nullptr;
     auto now = []() {
         return std::chrono::duration<double>(
@@ -657,6 +657,30 @@ static SpnIndex* spn_build_pfp_core(const u8* text, i64 n_text, int w,
     phase("scan");
     const i64 d = (i64)phrases.size();
     const i64 k = (i64)parse.size();
+
+    // generalized SA over the dictionary (phrases ++ 0x01, final 0x00) —
+    // independent of the parse-side structures, so it runs CONCURRENTLY
+    // with them when threads allow (the reference's analog is pscan.x -t /
+    // OpenMP in its builders, /root/reference/src/spumoni.cpp:445-455)
+    std::vector<u8> D;
+    std::vector<i64> dstart(d);
+    std::vector<i32> downer;
+    std::vector<i64> SAD, LCPD;
+    auto build_dict_sa = [&]() {
+        for (i64 i = 0; i < d; ++i) {
+            dstart[i] = (i64)D.size();
+            D.insert(D.end(), phrases[i].begin(), phrases[i].end());
+            D.push_back(1);
+            downer.resize(D.size(), (i32)i);
+        }
+        D.push_back(0);
+        downer.push_back(-1);
+        SAD.resize((i64)D.size());
+        sais_rec<u8, i64>(D.data(), SAD.data(), (i64)D.size(), 256);
+        kasai_lcp<u8>(D.data(), SAD.data(), (i64)D.size(), LCPD);
+    };
+    std::thread dict_thread;
+    if (threads > 1) dict_thread = std::thread(build_dict_sa);
 
     // body ranks, DEDUPLICATED: equal bodies (same phrase minus its leading
     // trigger) must get EQUAL parse symbols or continuation comparisons break
@@ -735,133 +759,263 @@ static SpnIndex* spn_build_pfp_core(const u8* text, i64 n_text, int w,
         }
     }
 
-    // generalized SA over the dictionary (phrases ++ 0x01, final 0x00)
-    std::vector<u8> D;
-    std::vector<i64> dstart(d);
-    std::vector<i32> downer;
-    for (i64 i = 0; i < d; ++i) {
-        dstart[i] = (i64)D.size();
-        D.insert(D.end(), phrases[i].begin(), phrases[i].end());
-        D.push_back(1);
-        downer.resize(D.size(), (i32)i);
-    }
-    D.push_back(0);
-    downer.push_back(-1);
+    if (dict_thread.joinable()) dict_thread.join();
+    else build_dict_sa();
     const i64 nd = (i64)D.size();
-    std::vector<i64> SAD(nd), LCPD;
-    sais_rec<u8, i64>(D.data(), SAD.data(), nd, 256);
-    kasai_lcp<u8>(D.data(), SAD.data(), nd, LCPD);
     phase("dict-sa");
 
     SpnIndex* idx = new SpnIndex();
     idx->n = n_text + 1;
-    RunAccumulator acc(idx);
-    if (std::getenv("SPN_DEBUG_LCP")) acc.lcp_dbg = &idx->lcp_dbg;
     auto coerce = [](u8 c) -> u8 { return c <= 2 ? (u8)1 : c; };
-
-    // 1) the terminator suffix of T ++ [0]: BWT char = last char of T
-    {
-        const std::string& last_ph = phrases[parse[k - 1]];
-        u8 ch = (u8)last_ph[last_ph.size() - w - 1];
-        acc.emit(coerce(ch), n_text, 0);
-    }
-
-    // 2) alpha-classes in dictionary-suffix order
     struct Member { i32 a; i64 o; };
-    std::vector<Member> members;
     const i64 INF = (i64)1 << 62;
-    i64 cls_len = -1;          // |alpha| of the open class
-    i64 pending = 0;           // min LCP_D since the last ACCEPTED suffix
-    i64 boundary = 0;          // class-boundary LCP for the open class
-    i64 empty_carry = INF;     // boundary min carried over non-emitting
-                               // classes (the skipped leading-Dollar suffix)
-    i64 prev_rank = -1;        // continuation rank of the last emission
 
-    std::vector<i64> ptr_s, end_s;  // flush scratch (avoid per-class allocs)
-    auto flush = [&]() {
-        if (members.empty()) return;
-        // merge members' occurrence lists by continuation rank
-        size_t nm = members.size();
-        ptr_s.resize(nm); end_s.resize(nm);
-        i64* ptr = ptr_s.data(); i64* end = end_s.data();
-        for (size_t x = 0; x < nm; ++x) {
-            ptr[x] = ilist_off[members[x].a];
-            end[x] = ilist_off[members[x].a + 1];
-        }
-        bool first = true;
-        while (true) {
-            int best = -1;
-            if (nm == 1) {
-                if (ptr[0] < end[0]) best = 0;
-            } else {
-                i64 best_rank = 0;
-                for (size_t x = 0; x < nm; ++x) {
-                    if (ptr[x] < end[x]) {
-                        i64 j = ilist[ptr[x]];
-                        i64 rk = ISAP[j + 1];
-                        if (best < 0 || rk < best_rank) {
-                            best = (int)x; best_rank = rk;
+    // one dict-SA segment of the alpha-class sweep, emitting into `emit`
+    // and reporting the chain state at segment end. Segments always begin
+    // at a position with LCPD[t] <= w, which forces a new class at the
+    // first accepted suffix regardless of upstream state (class membership
+    // requires pending >= l > w).
+    auto sweep_segment = [&](i64 tb, i64 te,
+                             const std::function<void(u8, i64, i64)>& emit,
+                             i64 pending0, i64* pending_out,
+                             i64* empty_carry_out) {
+        std::vector<Member> members;
+        i64 cls_len = -1;
+        i64 pending = pending0;
+        i64 boundary = 0;
+        i64 empty_carry = INF;
+        i64 prev_rank = -1;
+        std::vector<i64> ptr_s, end_s;
+        auto flush = [&]() {
+            if (members.empty()) return;
+            size_t nm = members.size();
+            ptr_s.resize(nm); end_s.resize(nm);
+            i64* ptr = ptr_s.data(); i64* end = end_s.data();
+            for (size_t x = 0; x < nm; ++x) {
+                ptr[x] = ilist_off[members[x].a];
+                end[x] = ilist_off[members[x].a + 1];
+            }
+            bool first = true;
+            while (true) {
+                int best = -1;
+                if (nm == 1) {
+                    if (ptr[0] < end[0]) best = 0;
+                } else {
+                    i64 best_rank = 0;
+                    for (size_t x = 0; x < nm; ++x) {
+                        if (ptr[x] < end[x]) {
+                            i64 j = ilist[ptr[x]];
+                            i64 rk = ISAP[j + 1];
+                            if (best < 0 || rk < best_rank) {
+                                best = (int)x; best_rank = rk;
+                            }
                         }
                     }
                 }
+                if (best < 0) break;
+                i64 j = ilist[ptr[best]++];
+                const Member& mb = members[best];
+                i64 i_S = s[j] + mb.o;
+                if (i_S == 0) continue;  // leading-Dollar: not a T suffix
+                u8 ch;
+                if (mb.o > 0) {
+                    ch = (u8)phrases[mb.a][mb.o - 1];
+                } else {
+                    const std::string& pv = phrases[parse[j - 1]];
+                    ch = (u8)pv[pv.size() - w - 1];
+                }
+                i64 lcp;
+                if (first) {
+                    lcp = boundary;
+                } else {
+                    lcp = cls_len + cont_lcp(prev_rank, ISAP[j + 1]);
+                }
+                emit(coerce(ch), i_S - 1, lcp);
+                prev_rank = ISAP[j + 1];
+                first = false;
             }
-            if (best < 0) break;
-            i64 j = ilist[ptr[best]++];
-            const Member& mb = members[best];
-            i64 i_S = s[j] + mb.o;
-            if (i_S == 0) continue;  // leading-Dollar suffix: not a T suffix
-            u8 ch;
-            if (mb.o > 0) {
-                ch = (u8)phrases[mb.a][mb.o - 1];
-            } else {
-                const std::string& pv = phrases[parse[j - 1]];
-                ch = (u8)pv[pv.size() - w - 1];
+            if (first && !members.empty()) {
+                // class emitted nothing: its boundary joins the LCP
+                // min-chain between the surrounding emitting classes
+                empty_carry = std::min(empty_carry, boundary);
+            } else if (!first) {
+                empty_carry = INF;
             }
-            i64 lcp;
-            if (first) {
-                lcp = boundary;
-            } else {
-                lcp = cls_len + cont_lcp(prev_rank, ISAP[j + 1]);
+            members.clear();
+        };
+        for (i64 t = tb; t < te; ++t) {
+            pending = std::min(pending, LCPD[t]);
+            i64 q = SAD[t];
+            i32 a = downer[q];
+            if (a < 0) continue;
+            i64 o = q - dstart[a];
+            i64 plen = (i64)phrases[a].size();
+            if (o >= plen) continue;      // separator position
+            i64 l = plen - o;
+            if (l <= w) continue;         // shorter than a trigger: skip
+            bool same = !members.empty() && l == cls_len && pending >= l;
+            if (!same) {
+                i64 b = pending;
+                flush();  // may set empty_carry from the closed class
+                boundary = std::min(std::min(b, empty_carry), l);
+                cls_len = l;
             }
-            acc.emit(coerce(ch), i_S - 1, lcp);
-            prev_rank = ISAP[j + 1];
-            first = false;
+            members.push_back({a, o});
+            pending = INF;  // measure the next LCP gap from this suffix
         }
-        if (first && !members.empty()) {
-            // class emitted nothing: its boundary joins the LCP min-chain
-            // between the surrounding emitting classes
-            empty_carry = std::min(empty_carry, boundary);
-        } else if (!first) {
-            empty_carry = INF;
-        }
-        members.clear();
+        flush();
+        *pending_out = pending;
+        *empty_carry_out = empty_carry;
     };
 
-    for (i64 t = 1; t < nd; ++t) {
-        pending = std::min(pending, LCPD[t]);
-        i64 q = SAD[t];
-        i32 a = downer[q];
-        if (a < 0) continue;
-        i64 o = q - dstart[a];
-        i64 plen = (i64)phrases[a].size();
-        if (o >= plen) continue;          // separator position
-        i64 l = plen - o;
-        if (l <= w) continue;             // shorter than a trigger: skip
-        bool same = !members.empty() && l == cls_len && pending >= l;
-        if (!same) {
-            i64 b = pending;
-            flush();  // may set empty_carry from the closed class
-            boundary = std::min(std::min(b, empty_carry), l);
-            cls_len = l;
-        }
-        members.push_back({a, o});
-        pending = INF;  // measure the next LCP gap from this suffix
-    }
-    flush();
+    // the terminator suffix of T ++ [0]: BWT char = last char of T
+    const std::string& last_ph = phrases[parse[k - 1]];
+    const u8 term_prev = coerce((u8)last_ph[last_ph.size() - w - 1]);
 
+    i64 segs = threads;
+    if (const char* env = std::getenv("SPN_SWEEP_SEGMENTS"))
+        segs = std::max((i64)1, (i64)atoll(env));
+
+    if (segs <= 1) {
+        // sequential path (also the oracle the segmented path must match)
+        RunAccumulator acc(idx);
+        if (std::getenv("SPN_DEBUG_LCP")) acc.lcp_dbg = &idx->lcp_dbg;
+        acc.emit(term_prev, n_text, 0);
+        i64 pe, ee;
+        sweep_segment(1, nd, [&](u8 c, i64 sa, i64 lcp) {
+            acc.emit(c, sa, lcp);
+        }, /*pending0=*/0, &pe, &ee);
+        phase("sweep");
+        idx->r = (i64)idx->run_heads.size();
+        if (acc.ec != idx->n) { delete idx; return nullptr; }
+        return idx;
+    }
+
+    // ---- segmented (threaded) sweep + seam stitching ----
+    // segment starts must satisfy LCPD[t] <= w (guaranteed class boundary)
+    std::vector<i64> cut{1};
+    for (i64 p = 1; p < segs; ++p) {
+        i64 t0 = 1 + (nd - 1) * p / segs;
+        while (t0 < nd && LCPD[t0] > w) ++t0;
+        if (t0 > cut.back() && t0 < nd) cut.push_back(t0);
+    }
+    cut.push_back(nd);
+    const size_t ns = cut.size() - 1;
+
+    std::vector<LocalAcc> accs(ns);
+    {
+        std::vector<std::thread> pool;
+        std::atomic<size_t> next{0};
+        int nt = std::max(1, std::min((int)ns, threads));
+        auto work = [&]() {
+            size_t p;
+            while ((p = next.fetch_add(1)) < ns) {
+                LocalAcc& A = accs[p];
+                sweep_segment(cut[p], cut[p + 1],
+                              [&A](u8 c, i64 sa, i64 lcp) {
+                                  A.emit(c, sa, lcp);
+                              },
+                              LocalAcc::INF, &A.pending_end,
+                              &A.empty_carry_end);
+            }
+        };
+        for (int x = 1; x < nt; ++x) pool.emplace_back(work);
+        work();
+        for (auto& th : pool) th.join();
+    }
+
+    // stitch: replay the cross-seam effects. The terminator emission is
+    // global emission 0; worker 0's carry is the sequential pending0 = 0.
+    idx->run_heads.push_back(term_prev);
+    idx->run_starts.push_back(0);
+    idx->samples_start.push_back(n_text);
+    idx->samples_last.push_back(n_text);
+    idx->thresholds.push_back(0);
+    i64 g_last_end[256], g_best_val[256], g_best_pos[256];
+    bool g_closed[256];
+    for (int c = 0; c < 256; ++c) g_closed[c] = false;
+    std::vector<u8> g_seen;
+    i64 ec = 1;
+    int last_char = term_prev;
+    i64 carry = 0;
+    for (size_t p = 0; p < ns; ++p) {
+        LocalAcc& A = accs[p];
+        if (A.ec == 0) {
+            carry = std::min({carry, A.pending_end, A.empty_carry_end});
+            continue;
+        }
+        const i64 seam = std::min(A.first_lcp, carry);
+        const i64 base = ec;
+        const u8 c0 = A.heads[0];
+        const bool merge = ((int)c0 == last_char);
+        // seam emission replay for the global trackers (emit()'s ec>0 path)
+        if (!merge) {
+            if (!g_closed[last_char]) {
+                g_closed[last_char] = true;
+                g_seen.push_back((u8)last_char);
+            }
+            g_last_end[last_char] = base - 1;
+        }
+        for (u8 cc : g_seen) {
+            if (base == g_last_end[cc] + 1) {
+                g_best_val[cc] = seam; g_best_pos[cc] = base;
+            } else if (seam < g_best_val[cc]) {
+                g_best_val[cc] = seam; g_best_pos[cc] = base;
+            }
+        }
+        // append runs; recompose each char's FIRST local run's threshold
+        bool first_done[256] = {false};
+        for (size_t j = 0; j < A.heads.size(); ++j) {
+            u8 c = A.heads[j];
+            bool is_first_local = !first_done[c];
+            first_done[c] = true;
+            if (j == 0 && merge) {
+                idx->samples_last.back() = A.esamp[0];
+                continue;
+            }
+            // local thresholds are local emission indices; only a char's
+            // first local run needs global recomposition
+            i64 tval = base + A.thr[j];
+            if (is_first_local) {
+                if (g_closed[c]) {
+                    i64 v = g_best_val[c], pos = g_best_pos[c];
+                    if (A.has_head[c] && A.head_pos[c] >= 0
+                            && A.head_val[c] < v) {
+                        v = A.head_val[c];
+                        pos = base + A.head_pos[c];
+                    }
+                    tval = pos;
+                } else {
+                    tval = 0;  // globally-first run of c
+                }
+            }
+            idx->run_heads.push_back(c);
+            idx->run_starts.push_back(base + A.starts[j]);
+            idx->samples_start.push_back(A.ssamp[j]);
+            idx->samples_last.push_back(A.esamp[j]);
+            idx->thresholds.push_back(tval);
+        }
+        // advance the global trackers to end-of-segment state
+        for (u8 c : A.seen) {  // chars with a locally-CLOSED run
+            if (!g_closed[c]) { g_closed[c] = true; g_seen.push_back(c); }
+            g_last_end[c] = base + A.last_end[c];
+            g_best_val[c] = A.best_val[c];
+            g_best_pos[c] = base + A.best_pos[c];
+        }
+        for (u8 cc : g_seen) {  // others: fold the whole-stream tracker
+            if (A.has_closed[cc]) continue;
+            if (A.all_pos >= 0 && A.all_val < g_best_val[cc]) {
+                g_best_val[cc] = A.all_val;
+                g_best_pos[cc] = base + A.all_pos;
+            }
+        }
+        last_char = A.heads.back();
+        ec = base + A.ec;
+        carry = std::min(A.pending_end, A.empty_carry_end);
+    }
     phase("sweep");
     idx->r = (i64)idx->run_heads.size();
-    if (acc.ec != idx->n) { delete idx; return nullptr; }  // coverage check
+    if (ec != idx->n) { delete idx; return nullptr; }  // coverage check
     return idx;
 }
 
@@ -870,11 +1024,22 @@ extern "C" {
 // PFP-based build (pfp_thresholds equivalent): same outputs as spn_build,
 // O(parse + dict) working memory. Text bytes must be >= 3 (0/1/2 are the
 // PFP specials EndOfDict/EndOfWord/Dollar, common.hpp:54-56).
-SpnIndex* spn_build_pfp(const u8* text, i64 text_len, int w, int mod) {
+// `threads` > 1 additionally (a) overlaps the dictionary-SA construction
+// with the parse-side structures and (b) partitions the alpha-class sweep
+// over dict-SA segments with exact seam stitching — the counterpart of the
+// reference's pscan.x -t / OpenMP build parallelism (spumoni.cpp:445-455,
+// doc_array.cpp:56). Output is byte-identical at any thread count.
+SpnIndex* spn_build_pfp_mt(const u8* text, i64 text_len, int w, int mod,
+                           int threads) {
     if (text_len <= w) return nullptr;
     for (i64 i = 0; i < text_len; ++i)
         if (text[i] <= 2) return nullptr;
-    return spn_build_pfp_core(text, text_len, w, mod);
+    return spn_build_pfp_core(text, text_len, w, mod,
+                              threads < 1 ? 1 : threads);
+}
+
+SpnIndex* spn_build_pfp(const u8* text, i64 text_len, int w, int mod) {
+    return spn_build_pfp_mt(text, text_len, w, mod, 1);
 }
 
 }  // extern "C" (reopened below)

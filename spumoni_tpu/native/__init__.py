@@ -103,6 +103,9 @@ def get_lib() -> ctypes.CDLL:
             lib.spn_build_pfp.restype = ctypes.c_void_p
             lib.spn_build_pfp.argtypes = [p_u8, c_i64, ctypes.c_int,
                                           ctypes.c_int]
+            lib.spn_build_pfp_mt.restype = ctypes.c_void_p
+            lib.spn_build_pfp_mt.argtypes = [p_u8, c_i64, ctypes.c_int,
+                                             ctypes.c_int, ctypes.c_int]
             lib.spn_lcp_dbg_len.restype = c_i64
             lib.spn_lcp_dbg_len.argtypes = [ctypes.c_void_p]
             lib.spn_get_lcp_dbg.restype = None
@@ -156,20 +159,28 @@ PFP_AUTO_THRESHOLD = 800_000_000
 
 
 def build_raw_index(text: np.ndarray, method: str = "auto",
-                    w: int = 10, mod: int = 100) -> RawIndex:
+                    w: int = 10, mod: int = 100,
+                    threads: int | None = None) -> RawIndex:
     """Builds the RLBWT + thresholds + SA samples for `text` (uint8, no 0/1
     bytes).
 
     method: 'sais' (in-memory suffix array), 'pfp' (prefix-free-parsing
     induction, O(parse+dict) memory, requires text bytes >= 3), or 'auto'
-    (pfp above PFP_AUTO_THRESHOLD when the byte range allows)."""
+    (pfp above PFP_AUTO_THRESHOLD when the byte range allows).
+    threads: PFP build parallelism (dict-SA overlap + segmented class sweep
+    with seam stitching; output is byte-identical at any count). Defaults to
+    the machine's core count; SPN_BUILD_THREADS overrides."""
     text = np.ascontiguousarray(text, dtype=np.uint8)
     lib = get_lib()
     if method == "auto":
         method = ("pfp" if len(text) > PFP_AUTO_THRESHOLD
                   and len(text) > 0 and int(text.min()) >= 3 else "sais")
     if method == "pfp":
-        h = lib.spn_build_pfp(_p_u8(text), len(text), int(w), int(mod))
+        if threads is None:
+            threads = int(os.environ.get("SPN_BUILD_THREADS",
+                                         os.cpu_count() or 1))
+        h = lib.spn_build_pfp_mt(_p_u8(text), len(text), int(w), int(mod),
+                                 int(max(1, threads)))
         if not h:
             raise ValueError("pfp build requires text bytes >= 3 and "
                              "len(text) > w")

@@ -172,3 +172,34 @@ def test_save_dicz_empty_first_phrase(tmp_path):
     assert os.path.exists(prefix + ".parse_with_empty_phrase")
     old = np.fromfile(prefix + ".parse_with_empty_phrase", dtype="<i4")
     assert old.tolist() == [1, 2, 3, 2]
+
+
+def test_pfp_threaded_sweep_identical(rng):
+    """The segmented (threaded) sweep with seam stitching must be
+    byte-identical to the sequential path at every segment count — on
+    random and highly repetitive texts (cross-seam run merges, threshold
+    windows spanning seams, empty classes at seams)."""
+    import os
+
+    texts = []
+    texts.append(np.frombuffer(rand_dna(rng, 6000), np.uint8))
+    base = np.frombuffer(rand_dna(rng, 1500), np.uint8)
+    copies = [base]
+    for _ in range(4):
+        c = base.copy()
+        m = rng.random(len(c)) < 0.01
+        c[m] = np.frombuffer(b"ACGT", np.uint8)[
+            rng.integers(0, 4, int(m.sum()))]
+        copies.append(c)
+    texts.append(np.concatenate(copies))
+    texts.append(np.tile(np.frombuffer(rand_dna(rng, 300), np.uint8), 25))
+
+    for text in texts:
+        seq = build_raw_index(text, method="pfp", threads=1)
+        for segs in (1, 2, 3, 7, 16):
+            os.environ["SPN_SWEEP_SEGMENTS"] = str(segs)
+            try:
+                par = build_raw_index(text, method="pfp", threads=2)
+            finally:
+                del os.environ["SPN_SWEEP_SEGMENTS"]
+            _assert_same_index(seq, par)
