@@ -1295,4 +1295,23 @@ void spn_query_ms_batch(SpnQuery* q, const u8* reads, const i64* offsets,
     });
 }
 
+// Decimal text formatting for the value output files — the role iostream
+// formatting plays in the reference's writer loops
+// (compute_ms_pml.cpp:1001-1021): each value printed as unsigned 64-bit
+// (negative inputs reproduce the reference's size_t underflow,
+// compute_ms_pml.cpp:582) followed by one space. Returns bytes written;
+// `out` must hold >= 21 * n bytes.
+i64 spn_format_values(const i64* v, i64 n, char* out) {
+    char* p = out;
+    char tmp[24];
+    for (i64 i = 0; i < n; ++i) {
+        u64 x = (u64)v[i];
+        int t = 0;
+        do { tmp[t++] = (char)('0' + (x % 10)); x /= 10; } while (x);
+        while (t) *p++ = tmp[--t];
+        *p++ = ' ';
+    }
+    return (i64)(p - out);
+}
+
 }  // extern "C"

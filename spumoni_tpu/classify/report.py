@@ -13,6 +13,8 @@ Formatting notes (all reproduced):
 
 from __future__ import annotations
 
+import io
+
 import numpy as np
 
 
@@ -24,9 +26,19 @@ def _fmt_value(v: int) -> str:
 
 
 def write_values_record(f, read_id: str, values) -> None:
-    f.write(f">{read_id}\n")
-    f.write("".join(_fmt_value(v) + " " for v in values))
-    f.write("\n")
+    """Writes one '>id\\nv v v \\n' record; accepts text- or binary-mode
+    files. Integer numpy arrays go through the native decimal formatter
+    (byte-identical, ~20-40x faster — the writers otherwise bound
+    end-to-end throughput like the reference's iostream loops,
+    compute_ms_pml.cpp:1001-1021)."""
+    binary = isinstance(f, io.BufferedIOBase) or isinstance(f, io.RawIOBase)
+    if isinstance(values, np.ndarray) and values.dtype.kind in "iu":
+        from ..native import format_values
+        body = format_values(values)
+    else:
+        body = "".join(_fmt_value(v) + " " for v in values).encode("ascii")
+    rec = b">" + read_id.encode() + b"\n" + body + b"\n"
+    f.write(rec if binary else rec.decode("ascii"))
 
 
 def _cpp_general_float(x: float, precision: int = 3) -> str:

@@ -271,6 +271,9 @@ def extend_pointers_kernel(text: jnp.ndarray, reads: jnp.ndarray,
     return out  # [B, L]
 
 
+_downcast_u16 = jax.jit(lambda x: x.astype(jnp.uint16))
+
+
 class ScanEngine:
     """Host-side wrapper: packs variable-length reads into padded batches,
     runs the lockstep kernels, unpacks per-read outputs.
@@ -315,6 +318,15 @@ class ScanEngine:
             L = -(-m // self.chunk) * self.chunk
         return L
 
+    def _fetch(self, v, L: int):
+        """Device->host value fetch; PML lengths are downcast to uint16 ON
+        DEVICE first (lengths < L <= 65535) — 4x less data through the
+        host link, which production value-emitting runs are bound by."""
+        if (self.mode == "pml" and L <= 0xFFFF
+                and not isinstance(v, np.ndarray)):
+            v = _downcast_u16(v)
+        return np.asarray(v)
+
     def _query_group(self, reads, L: int):
         """Runs one padded [B, L] kernel invocation (B = next power of two,
         capped by max_lanes chunks upstream)."""
@@ -339,7 +351,7 @@ class ScanEngine:
                     v, state = query_batch_kernel_v4(
                         self.arrays, jnp.asarray(revm[:, c0:c0 + self.chunk]),
                         self.meta, planes, state)
-                    v_parts.append(np.asarray(v))
+                    v_parts.append(self._fetch(v, L))
                 vals = np.concatenate(v_parts, axis=1)
             else:
                 vals, _ = query_batch_kernel_v4(
@@ -363,7 +375,7 @@ class ScanEngine:
                         self.arrays, jnp.asarray(revm[:, c0:c0 + self.chunk]),
                         self.meta, self.mode, self.use_doc, planes, state,
                         finalize=False)
-                    v_parts.append(np.asarray(v))
+                    v_parts.append(self._fetch(v, L))
                     if self.use_doc:
                         d_parts.append(np.asarray(d))
                 if lag:
@@ -371,7 +383,7 @@ class ScanEngine:
                         self.arrays, jnp.zeros((revm.shape[0], 1), jnp.uint8),
                         self.meta, self.mode, self.use_doc, planes, state,
                         finalize=False)
-                    v_parts.append(np.asarray(v))
+                    v_parts.append(self._fetch(v, L))
                     if self.use_doc:
                         d_parts.append(np.asarray(d))
                 vals = np.concatenate(v_parts, axis=1)
@@ -401,7 +413,7 @@ class ScanEngine:
                     v, d, state = query_batch_kernel_v2(
                         self.arrays, jnp.asarray(rev[:, c0:c0 + self.chunk]),
                         self.meta, self.mode, self.use_doc, planes, state)
-                    v_parts.append(np.asarray(v))
+                    v_parts.append(self._fetch(v, L))
                     if self.use_doc:
                         d_parts.append(np.asarray(d))
                 vals = np.concatenate(v_parts, axis=1)
@@ -414,7 +426,7 @@ class ScanEngine:
             vals, docs = query_batch_kernel(
                 self.arrays, jnp.asarray(rev), self.meta, self.mode,
                 self.use_doc, self.r)
-        vals = np.asarray(vals)
+        vals = self._fetch(vals, L)
         nreads = len(reads)
         out = {}
         unrev = lambda mat: [mat[i, :lens[i]][::-1].copy()

@@ -106,6 +106,9 @@ def get_lib() -> ctypes.CDLL:
             lib.spn_build_pfp_mt.restype = ctypes.c_void_p
             lib.spn_build_pfp_mt.argtypes = [p_u8, c_i64, ctypes.c_int,
                                              ctypes.c_int, ctypes.c_int]
+            lib.spn_format_values.restype = c_i64
+            lib.spn_format_values.argtypes = [p_i64, c_i64,
+                                              ctypes.c_char_p]
             lib.spn_lcp_dbg_len.restype = c_i64
             lib.spn_lcp_dbg_len.argtypes = [ctypes.c_void_p]
             lib.spn_get_lcp_dbg.restype = None
@@ -393,3 +396,16 @@ class NativeQueryEngine:
         if with_docs:
             res.append(sl(docs))
         return tuple(res) if len(res) > 1 else res[0]
+
+
+def format_values(values: np.ndarray) -> bytes:
+    """Decimal 'v v v ' text of an int array via the native formatter —
+    byte-identical to the per-value Python path (negative values print as
+    unsigned 64-bit, the reference's size_t underflow) at C speed; the
+    value-file writers are otherwise the end-to-end bottleneck."""
+    v = np.ascontiguousarray(values, dtype=np.int64)
+    if v.size == 0:
+        return b""
+    out = ctypes.create_string_buffer(21 * v.size)
+    m = get_lib().spn_format_values(_p_i64(v), v.size, out)
+    return out.raw[:m]

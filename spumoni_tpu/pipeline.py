@@ -595,8 +595,8 @@ def run(cfg: RunConfig) -> int:
         from collections import deque
         ks_pending = deque()
 
-    mode_ = "a" if skip else "w"
-    files = {k_: open(dist.shard_path(v, p, P), mode_)
+    files = {k_: open(dist.shard_path(v, p, P),
+                      ("a" if skip else "w") + ("" if k_ == "report" else "b"))
              for k_, v in paths.items()}
     if cfg.write_report and P == 1 and not skip:
         files["report"].write(ks_report_header(ks_thr) if cfg.ks_report
@@ -651,37 +651,71 @@ def run(cfg: RunConfig) -> int:
             bases += len(rd)
         return ids, reads, bases
 
-    for ids, reads, bases in _prefetched(
-            (prepare(b) for b in batch_iter(my_records(), cfg.batch_bases))):
-        total_bases += bases
-        out = engine.query(reads)
+    # classification + file output run on a WRITER THREAD so host-side
+    # formatting/IO (and the device->host value transfer it forces) overlap
+    # the next batch's device compute — the output half of the reference's
+    # omp-critical writer sections (compute_ms_pml.cpp:1001-1021), off the
+    # critical path.
+    import queue
+    import threading
+
+    wstate = {"found": 0, "num": num_reads, "err": None}
+    wq: "queue.Queue" = queue.Queue(maxsize=2)
+
+    def _write_batch(ids, out):
         for i, rid in enumerate(ids):
             if cfg.use_doc:
                 write_values_record(files["docs"], rid, out["docs"][i])
             if cfg.mode == "ms":
-                write_values_record(files["pointers"], rid, out["pointers"][i])
+                write_values_record(files["pointers"], rid,
+                                    out["pointers"][i])
             write_values_record(files["lengths"], rid, out["lengths"][i])
             if cfg.write_report and cfg.ks_report:
                 ks_test.rand.advance(ks_pending.popleft())
                 ks_list = ks_test.run_kstest(out["lengths"][i])
                 above = sum(1 for x in ks_list if x >= ks_thr)
                 found = above / len(ks_list) > 0.50
-                found_count += found
+                wstate["found"] += found
                 files["report"].write(ks_report_line(
                     rid, "FOUND" if found else "NOT_PRESENT",
                     sum(ks_list) / len(ks_list), above,
                     len(ks_list) - above))
             elif cfg.write_report:
                 res = binmax.classify(out["lengths"][i], cfg.bin_size, thr)
-                found_count += res.status == "FOUND"
+                wstate["found"] += res.status == "FOUND"
                 files["report"].write(report_line(
                     rid, res.status, res.avg_max, res.bins_above,
                     res.bins_below))
-            num_reads += 1
+            wstate["num"] += 1
         for f in files.values():
             f.flush()
         with open(cursor_path, "w") as f:
-            f.write(str(num_reads))
+            f.write(str(wstate["num"]))
+
+    def _writer():
+        try:
+            while True:
+                item = wq.get()
+                if item is None:
+                    return
+                _write_batch(*item)
+        except BaseException as e:  # surfaced after join
+            wstate["err"] = e
+
+    wthread = threading.Thread(target=_writer, daemon=True)
+    wthread.start()
+    for ids, reads, bases in _prefetched(
+            (prepare(b) for b in batch_iter(my_records(), cfg.batch_bases))):
+        total_bases += bases
+        out = engine.query(reads)
+        if wstate["err"] is not None:
+            break
+        wq.put((ids, out))
+    wq.put(None)
+    wthread.join()
+    if wstate["err"] is not None:
+        raise wstate["err"]
+    found_count, num_reads = wstate["found"], wstate["num"]
     dt = time.time() - t0
     for f in files.values():
         f.close()
@@ -723,7 +757,7 @@ def _run_general_text(cfg: RunConfig, engine) -> int:
     else:
         paths["lengths"] = out_prefix + ".lengths"
         paths["pointers"] = out_prefix + ".pointers"
-    files = {k_: open(dist.shard_path(v, p, P), "w")
+    files = {k_: open(dist.shard_path(v, p, P), "wb")
              for k_, v in paths.items()}
 
     def my_records():
