@@ -165,8 +165,89 @@ print(len(reads) / dt / threads)
     return per_thread * BASELINE_THREADS  # linear extrapolation to 32 threads
 
 
+def bench_tpu_ms(raw, text, rng):
+    """Full MS mode (BASELINE config 2): pointer scan + text extension."""
+    import jax
+    import jax.numpy as jnp
+    from spumoni_tpu.index.format import build_dense_index
+    from spumoni_tpu.engine.layered import build_layered
+    from spumoni_tpu.engine.scan_engine import (build_text_words,
+                                                extend_pointers_diag,
+                                                query_batch_kernel_v2)
+
+    B_ms = 65536
+    dense = build_dense_index(raw, text=text, with_samples=True)
+    arrays, meta, host = build_layered(dense)
+    nt = int(arrays.text.shape[0])
+    tw = build_text_words(arrays.text, nt)
+
+    reads = make_reads(rng, text, B_ms, L)
+    rev = np.ascontiguousarray(reads[:, ::-1])
+    alphabet = tuple(sorted(set(host.index_chars) | {0}))
+    planes = host.planes_for_alphabet(alphabet)
+    rev_d = jax.device_put(jnp.asarray(host.rank_map(alphabet)[rev]))
+    fwd_d = jax.device_put(jnp.asarray(reads))
+    lens_d = jax.device_put(jnp.asarray(np.full((B_ms,), L, np.int32)))
+
+    def step():
+        ptrs, _, _ = query_batch_kernel_v2(arrays, rev_d, meta, "ms",
+                                           False, planes)
+        lens_ = extend_pointers_diag(tw, fwd_d, lens_d, ptrs[:, ::-1], nt)
+        return lens_
+
+    np.asarray(step()[:1])  # compile + warm
+    reps, t0 = 3, time.time()
+    for _ in range(reps):
+        out = step()
+    np.asarray(out[:1])
+    dt = (time.time() - t0) / reps
+    return B_ms / dt
+
+
+def bench_cpu_ms(raw, text, rng):
+    import subprocess
+
+    n_reads = 64
+    reads = np.stack(list(make_reads(rng, text, n_reads, L)))
+    tmp = os.path.join(CACHE, "cpu_bench_ms_in.npz")
+    np.savez(tmp, reads=reads, text=text, n=raw.n, run_heads=raw.run_heads,
+             run_starts=raw.run_starts, thresholds=raw.thresholds,
+             samples_start=raw.samples_start, samples_last=raw.samples_last)
+    code = f"""
+import os, sys, time
+import numpy as np
+sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})
+from spumoni_tpu.native import NativeQueryEngine
+d = np.load({tmp!r})
+eng = NativeQueryEngine(int(d["n"]), d["run_heads"], d["run_starts"],
+                        d["thresholds"], d["samples_start"], d["samples_last"],
+                        text=d["text"])
+reads = [r.tobytes() for r in d["reads"]]
+threads = os.cpu_count() or 1
+eng.query_ms(reads[:8], threads=threads)
+t0 = time.time()
+eng.query_ms(reads, threads=threads)
+print(len(reads) / (time.time() - t0) / threads)
+"""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out = subprocess.run([sys.executable, "-c", code], check=True,
+                         capture_output=True, text=True, env=env)
+    return float(out.stdout.strip().splitlines()[-1]) * BASELINE_THREADS
+
+
 def main():
     raw, text, rng = get_index()
+    if os.environ.get("SPUMONI_BENCH_CONFIG") == "ms":
+        # BASELINE config 2: full MS (-M) — pointers + extended lengths
+        tpu = bench_tpu_ms(raw, text, rng)
+        cpu32 = bench_cpu_ms(raw, text, rng)
+        print(json.dumps({
+            "metric": "ms_full_reads_per_s_chip",
+            "value": round(tpu, 2),
+            "unit": "reads/s (1024bp)",
+            "vs_baseline": round(tpu / cpu32, 3),
+        }))
+        return
     tpu_reads_s, tpu_bases_s = bench_tpu(raw, text, rng)
     cpu32_reads_s = bench_cpu(raw, text, rng)
     print(json.dumps({

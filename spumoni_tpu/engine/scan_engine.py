@@ -208,6 +208,133 @@ def query_batch_kernel(ix: IndexArrays, reads_rev: jnp.ndarray,
     return vals, docs
 
 
+def build_text_words(text: jnp.ndarray, nt: int) -> jnp.ndarray:
+    """[ceil(nt/64), 9] uint64 rows: row g holds text words 8g..8g+8 (one
+    word of overlap), so any 8-byte window starting at byte t lives in row
+    t>>6 at word (t>>3)&7 and its successor — ONE row gather per probe."""
+    rows = -(-int(nt) // 64)
+    pad = rows * 64 + 8 - int(text.shape[0])
+    t = jnp.concatenate([text, jnp.zeros((pad,), jnp.uint8)])
+    words = jax.lax.bitcast_convert_type(t.reshape(-1, 8), jnp.uint64)
+    main = words[:rows * 8].reshape(rows, 8)
+    extra = words[8::8][:rows]
+    return jnp.concatenate([main, extra[:, None]], axis=1)
+
+
+def _aligned_u64(rowtab, bytepos, dt):
+    """8 little-endian bytes starting at `bytepos`, via one row gather into
+    a build_text_words-style [rows, 9] u64 table + per-lane shifts."""
+    row = rowtab[jnp.clip(bytepos >> 6, 0, rowtab.shape[0] - 1)]  # [B, 9]
+    wi = (bytepos >> 3) & 7
+    g = jnp.arange(9, dtype=dt)[None, :]
+    w0 = jnp.sum(jnp.where(g == wi[:, None], row, 0), axis=1,
+                 dtype=jnp.uint64)
+    w1 = jnp.sum(jnp.where(g == wi[:, None] + 1, row, 0), axis=1,
+                 dtype=jnp.uint64)
+    sh = ((bytepos & 7) * 8).astype(jnp.uint64)
+    hi = jnp.where(sh == 0, jnp.uint64(0), w1 << (jnp.uint64(64) - sh))
+    return (w0 >> sh) | hi
+
+
+def _match_bytes(t64, r64, dt):
+    """Leading equal LE bytes of two u64 windows (8 when identical)."""
+    x = t64 ^ r64
+    tz = jax.lax.population_count((x & (jnp.uint64(0) - x)) - jnp.uint64(1))
+    return (tz.astype(dt) >> 3)
+
+
+@functools.partial(jax.jit, static_argnames=("nt", "chunk_lanes"))
+def extend_pointers_diag(text_words: jnp.ndarray, reads: jnp.ndarray,
+                         read_lens: jnp.ndarray, ptrs: jnp.ndarray, nt: int,
+                         chunk_lanes: int = 131072):
+    """MS extension v2: pointers -> lengths via DIAGONAL-RUN structure.
+
+    Consecutive MS pointers (ptr[i+1] == ptr[i] + 1, ptr[i] >= 1) imply
+    l_i = 1 + l_{i+1} exactly: the jump/extension that produced ptr[i]
+    lands ON an occurrence of read[i] (text[ptr_i] == read[i]), and the
+    remaining comparison windows coincide. So only the END of each maximal
+    pointer-diagonal needs a brute LCP(text[ptr_e:], read[e:]) — a SHORT
+    post-jump match — and every interior position fills as
+    (e - i) + l_e. This removes the per-character while_loop of the old
+    kernel (2L iterations x 4 per-lane gathers each) in favor of
+
+      1. one flat brute pass over all positions (only diagonal ends
+         active), comparing 8 BYTES per step via aligned u64 windows
+         (one text-word row gather + one read-word row gather per step;
+         a chunk exits as soon as its ends are resolved), then
+      2. a vectorized reverse-cummin fill.
+
+    Replaces the reference's SLP extension loop (compute_ms_pml.cpp:802-810)
+    semantics exactly: ptr < 0 (the unsigned-underflow encoding) and
+    text-end / read-end bounds yield the same lengths.
+    """
+    B, L = reads.shape
+    dt = ptrs.dtype
+    iota = jnp.arange(L, dtype=dt)[None, :]
+
+    # diagonal ends: last in-read position, broken adjacency, or a pointer
+    # <= 0 (reset artifacts carry no first-char guarantee — brute them)
+    nxt = jnp.concatenate([ptrs[:, 1:], jnp.full((B, 1), -(1 << 30), dt)],
+                          axis=1)
+    in_read = iota < read_lens[:, None]
+    ends = ((iota >= read_lens[:, None] - 1) | (nxt != ptrs + 1)
+            | (ptrs <= 0)) & in_read
+
+    # flat per-position state; reads as overlapping u64 word rows
+    BL = B * L
+    CH = chunk_lanes
+    while BL % CH:
+        CH //= 2
+    nch = BL // CH
+    rwords = build_text_words(reads.reshape(-1), BL)
+
+    flat_ptr = ptrs.reshape(-1)
+    flat_act = (ends & (ptrs >= 0)).reshape(-1)
+
+    def chunk_body(carry, xs):
+        fp, fa, base = xs
+        rpos0 = base * CH + jnp.arange(CH, dtype=dt)
+        # read-end byte limit for each lane's read
+        row = rpos0 // L
+        limit = row * L + read_lens[jnp.clip(row, 0, B - 1)]
+
+        def cond(st):
+            return jnp.any(st[1])
+
+        def body(st):
+            l, act = st
+            tpos = fp + l
+            rpos = rpos0 + l
+            kmax = jnp.minimum(jnp.minimum(limit - rpos, nt - tpos),
+                               8).astype(dt)
+            t64 = _aligned_u64(text_words, tpos, dt)
+            r64 = _aligned_u64(rwords, rpos, dt)
+            mb = _match_bytes(t64, r64, dt)
+            k = jnp.clip(jnp.minimum(mb, kmax), 0, 8)
+            l = l + jnp.where(act, k, 0)
+            act = act & (k == 8)
+            return l, act
+
+        l0 = jnp.zeros((CH,), dt)
+        l, _ = jax.lax.while_loop(cond, body, (l0, fa))
+        return carry, l
+
+    _, l_flat = jax.lax.scan(
+        chunk_body, 0,
+        (flat_ptr.reshape(nch, CH), flat_act.reshape(nch, CH),
+         jnp.arange(nch, dtype=dt)))
+    l_brute = l_flat.reshape(B, L)
+
+    # fill: l_i = (e(i) - i) + l_e for the nearest end e(i) >= i
+    e_idx = jax.lax.cummin(jnp.where(ends, iota, L + L), axis=1,
+                           reverse=True)
+    e_c = jnp.clip(e_idx, 0, L - 1).astype(jnp.int32)
+    l_e = jnp.take_along_axis(l_brute, e_c, axis=1)
+    out = (e_idx - iota).astype(dt) + l_e
+    out = jnp.where((ptrs >= 0) & in_read & (e_idx < L + L), out, 0)
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("nt",))
 def extend_pointers_kernel(text: jnp.ndarray, reads: jnp.ndarray,
                            read_lens: jnp.ndarray, ptrs: jnp.ndarray, nt: int):
@@ -309,6 +436,7 @@ class ScanEngine:
                      else arrays.bblocks.shape[0] if self.bits
                      else arrays.c_start.shape[0])
         self.nt = int(arrays.text.shape[0]) if arrays.text is not None else 0
+        self._text_words = None  # built lazily for the MS extension
 
     def _bucket_L(self, m: int) -> int:
         L = self.pad_to
@@ -439,10 +567,35 @@ class ScanEngine:
                 ptrs_fwd = np.zeros((B, L), dtype=vals.dtype)
                 for i in range(nreads):
                     ptrs_fwd[i, :lens[i]] = vals[i, :lens[i]][::-1]
-                lens_mat = np.asarray(extend_pointers_kernel(
-                    self.arrays.text, jnp.asarray(fwd),
+                if self._text_words is None:
+                    self._text_words = build_text_words(self.arrays.text,
+                                                        self.nt)
+                lens_mat = np.array(extend_pointers_diag(
+                    self._text_words, jnp.asarray(fwd),
                     jnp.asarray(lens.astype(vals.dtype)),
                     jnp.asarray(ptrs_fwd), self.nt))
+                # Reads with any pointer <= 0 (reset artifacts / unsigned
+                # underflow from index-absent chars) take the reference's
+                # QUIRK path: the extension carry l = max(l-1, 0) applies
+                # even through garbage pointers and extension restarts from
+                # the carried (unverified) offset (compute_ms_pml.cpp:802-810)
+                # — not a pure LCP. Route those rare reads through the exact
+                # sequential-carry kernel.
+                anom = [i for i in range(nreads)
+                        if lens[i] and (ptrs_fwd[i, :lens[i]] <= 0).any()]
+                if anom:
+                    Ba = max(1, 1 << (len(anom) - 1).bit_length())
+                    sf = np.zeros((Ba, L), np.uint8)
+                    sp = np.zeros((Ba, L), ptrs_fwd.dtype)
+                    sl = np.zeros((Ba,), np.int64)
+                    for j, i in enumerate(anom):
+                        sf[j], sp[j], sl[j] = fwd[i], ptrs_fwd[i], lens[i]
+                    sub = np.asarray(extend_pointers_kernel(
+                        self.arrays.text, jnp.asarray(sf),
+                        jnp.asarray(sl.astype(vals.dtype)),
+                        jnp.asarray(sp), self.nt))
+                    for j, i in enumerate(anom):
+                        lens_mat[i] = sub[j]
                 out["lengths"] = [lens_mat[i, :lens[i]].copy()
                                   for i in range(nreads)]
         if self.use_doc:

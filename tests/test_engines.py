@@ -99,3 +99,55 @@ def test_dense_index_roundtrip(tmp_path, rng):
               "c_ssamp", "c_esamp", "text"):
         assert np.array_equal(getattr(loaded, f), getattr(dense, f)), f
     assert loaded.last_run_sample == dense.last_run_sample
+
+
+def test_extension_diag_matches_while_kernel(rng, make_reads):
+    """The diagonal-run extension (one brute LCP per pointer-diagonal end +
+    arithmetic fill) must equal the two-pointer while_loop kernel and brute
+    force — including underflowed (negative) pointers from N chars, exact
+    substrings (single diagonal), and reset-position ptr<=0 handling."""
+    import jax.numpy as jnp
+    from spumoni_tpu.engine.scan_engine import (build_text_words,
+                                                extend_pointers_diag,
+                                                extend_pointers_kernel)
+
+    for trial in range(3):
+        text = rand_dna(rng, 4000)
+        raw, dense, native = _build(text)
+        arrays, meta = to_device_arrays(dense)
+        eng = ScanEngine(arrays, meta, mode="ms")
+        reads = make_reads(rng, text, num=10, max_len=300)
+        reads.append(text[100:400])                      # exact substring
+        reads.append(b"ACGT" + b"N" * 30 + text[:64])    # underflow ptrs
+        reads.append(b"N" * 40)                          # all-reset
+        out = eng.query(reads)
+        ptrs, lens = native.query_ms(reads)
+        for i, rd in enumerate(reads):
+            assert np.array_equal(out["lengths"][i], lens[i]), i
+            assert np.array_equal(out["pointers"][i], ptrs[i]), i
+
+        # cross-check the two kernels directly on one padded batch — only
+        # for reads whose pointers are all >= 1: reads with reset/underflow
+        # pointers take the reference's sequential-carry quirk path, which
+        # the diag kernel intentionally delegates (ScanEngine fallback,
+        # exercised by the eng.query comparison above)
+        normal = [i for i, rd in enumerate(reads) if (ptrs[i] >= 1).all()]
+        B = len(normal)
+        L = 512
+        fwd = np.zeros((B, L), np.uint8)
+        pf = np.zeros((B, L), np.int64)
+        rl = np.zeros((B,), np.int64)
+        for j, i in enumerate(normal):
+            a = np.frombuffer(reads[i], np.uint8)
+            fwd[j, :len(a)] = a
+            pf[j, :len(a)] = ptrs[i]
+            rl[j] = len(a)
+        nt = int(arrays.text.shape[0])
+        tw = build_text_words(arrays.text, nt)
+        a_ = np.asarray(extend_pointers_diag(
+            tw, jnp.asarray(fwd), jnp.asarray(rl), jnp.asarray(pf), nt))
+        b_ = np.asarray(extend_pointers_kernel(
+            arrays.text, jnp.asarray(fwd), jnp.asarray(rl),
+            jnp.asarray(pf), nt))
+        for j in range(B):
+            assert np.array_equal(a_[j, :rl[j]], b_[j, :rl[j]]), j

@@ -97,3 +97,32 @@ def test_tp_uneven_row_padding(rng):
     for i in range(len(reads)):
         ref = binmax.classify(ref_lengths[i], 150, 5)
         assert (ref.status == "FOUND") == bool(out["found"][i]), i
+
+
+def test_tp_beyond_single_device_budget(rng):
+    """The >HBM story end to end (VERDICT stretch): a fields table larger
+    than a simulated per-device budget must classify correctly while every
+    device holds ONLY its 1/8 row-shard (per-device bytes stay under the
+    budget that the full table would bust). 300 kbp -> fields table whose
+    replicated per-device footprint would exceed the 1 MB 'budget'."""
+    text, arrays, meta, host, native = _setup(rng, n_text=300_000)
+    full_bytes = int(np.asarray(arrays.fields).nbytes)
+    budget = full_bytes // 2           # full table would NOT fit
+    mesh = make_tp_mesh(1, 8)
+    clf = TpPmlClassifier(arrays, meta, mesh, bin_width=150,
+                          max_value_thr=5, host=host)
+    shards = clf.arrays.fields.addressable_shards
+    assert len(shards) == 8
+    per_dev = max(int(np.prod(s.data.shape)) * s.data.dtype.itemsize
+                  for s in shards)
+    assert per_dev <= budget, (per_dev, budget)
+    assert per_dev * 8 >= full_bytes   # shards jointly cover the table
+
+    reads = [mutated_substring(rng, text, 400, err=0.05) for _ in range(6)]
+    reads += [rand_dna(rng, 400) for _ in range(6)]
+    out = clf.classify(reads)
+    ref_lengths = native.query_pml(reads)
+    for i in range(len(reads)):
+        ref = binmax.classify(ref_lengths[i], 150, 5)
+        assert (ref.status == "FOUND") == bool(out["found"][i]), i
+        assert ref.bins_above == out["above"][i], i
