@@ -209,31 +209,40 @@ def query_batch_kernel(ix: IndexArrays, reads_rev: jnp.ndarray,
 
 
 def build_text_words(text: jnp.ndarray, nt: int) -> jnp.ndarray:
-    """[ceil(nt/64), 9] uint64 rows: row g holds text words 8g..8g+8 (one
-    word of overlap), so any 8-byte window starting at byte t lives in row
-    t>>6 at word (t>>3)&7 and its successor — ONE row gather per probe."""
+    """[ceil(nt/64), 17] uint64 rows: row g holds text words 8g..8g+16, so
+    ANY 64-byte window starting at byte t lives in row t>>6 at word offsets
+    ((t>>3)&7) .. ((t>>3)&7)+8 — ONE row gather yields a full 64-byte
+    aligned comparison window."""
     rows = -(-int(nt) // 64)
-    pad = rows * 64 + 8 - int(text.shape[0])
+    pad = rows * 64 + 136 - int(text.shape[0])
     t = jnp.concatenate([text, jnp.zeros((pad,), jnp.uint8)])
     words = jax.lax.bitcast_convert_type(t.reshape(-1, 8), jnp.uint64)
+    return _rows17(words, rows)
+
+
+def _rows17(words: jnp.ndarray, rows: int) -> jnp.ndarray:
+    """[rows, 17] overlapping-word rows from a flat u64 word vector
+    (len >= rows*8 + 17): row g = words[8g .. 8g+16]."""
     main = words[:rows * 8].reshape(rows, 8)
-    extra = words[8::8][:rows]
-    return jnp.concatenate([main, extra[:, None]], axis=1)
+    second = words[8:rows * 8 + 8].reshape(rows, 8)
+    last = words[16::8][:rows]
+    return jnp.concatenate([main, second, last[:, None]], axis=1)
 
 
-def _aligned_u64(rowtab, bytepos, dt):
-    """8 little-endian bytes starting at `bytepos`, via one row gather into
-    a build_text_words-style [rows, 9] u64 table + per-lane shifts."""
-    row = rowtab[jnp.clip(bytepos >> 6, 0, rowtab.shape[0] - 1)]  # [B, 9]
+def _aligned_u64x8(rowtab, bytepos, dt):
+    """[B, 8] aligned u64 words = 64 little-endian bytes starting at
+    `bytepos`, via one row gather into a [rows, 17] table + per-lane
+    shifts."""
+    row = rowtab[jnp.clip(bytepos >> 6, 0, rowtab.shape[0] - 1)]  # [B, 17]
     wi = (bytepos >> 3) & 7
-    g = jnp.arange(9, dtype=dt)[None, :]
-    w0 = jnp.sum(jnp.where(g == wi[:, None], row, 0), axis=1,
-                 dtype=jnp.uint64)
-    w1 = jnp.sum(jnp.where(g == wi[:, None] + 1, row, 0), axis=1,
-                 dtype=jnp.uint64)
-    sh = ((bytepos & 7) * 8).astype(jnp.uint64)
-    hi = jnp.where(sh == 0, jnp.uint64(0), w1 << (jnp.uint64(64) - sh))
-    return (w0 >> sh) | hi
+    g = jnp.arange(17, dtype=dt)[None, :, None]                   # [1,17,1]
+    tgt = wi[:, None, None] + jnp.arange(9, dtype=dt)[None, None, :]
+    ws = jnp.sum(jnp.where(g == tgt, row[:, :, None], 0), axis=1,
+                 dtype=jnp.uint64)                                # [B, 9]
+    sh = ((bytepos & 7) * 8).astype(jnp.uint64)[:, None]
+    hi = jnp.where(sh == 0, jnp.uint64(0),
+                   ws[:, 1:] << (jnp.uint64(64) - sh))
+    return (ws[:, :8] >> sh) | hi                                 # [B, 8]
 
 
 def _match_bytes(t64, r64, dt):
@@ -243,30 +252,44 @@ def _match_bytes(t64, r64, dt):
     return (tz.astype(dt) >> 3)
 
 
+def _match64(ta, ra, dt):
+    """Leading equal bytes of two [B, 8]-word (64-byte) windows."""
+    mb = _match_bytes(ta, ra, dt)                                 # [B, 8]
+    k = mb[:, 7]
+    for j in range(6, -1, -1):
+        k = mb[:, j] + jnp.where(mb[:, j] == 8, k, 0)
+    return k                                                      # 0..64
+
+
 @functools.partial(jax.jit, static_argnames=("nt", "chunk_lanes"))
 def extend_pointers_diag(text_words: jnp.ndarray, reads: jnp.ndarray,
                          read_lens: jnp.ndarray, ptrs: jnp.ndarray, nt: int,
-                         chunk_lanes: int = 131072):
+                         chunk_lanes: int = 16384):
     """MS extension v2: pointers -> lengths via DIAGONAL-RUN structure.
 
     Consecutive MS pointers (ptr[i+1] == ptr[i] + 1, ptr[i] >= 1) imply
     l_i = 1 + l_{i+1} exactly: the jump/extension that produced ptr[i]
     lands ON an occurrence of read[i] (text[ptr_i] == read[i]), and the
     remaining comparison windows coincide. So only the END of each maximal
-    pointer-diagonal needs a brute LCP(text[ptr_e:], read[e:]) — a SHORT
-    post-jump match — and every interior position fills as
-    (e - i) + l_e. This removes the per-character while_loop of the old
-    kernel (2L iterations x 4 per-lane gathers each) in favor of
+    pointer-diagonal needs a brute LCP(text[ptr_e:], read[e:]) — and every
+    interior position fills as (e - i) + l_e. This removes the
+    per-character while_loop of the old kernel (2L iterations x 4 per-lane
+    gathers each) in favor of
 
       1. one flat brute pass over all positions (only diagonal ends
-         active), comparing 8 BYTES per step via aligned u64 windows
-         (one text-word row gather + one read-word row gather per step;
-         a chunk exits as soon as its ends are resolved), then
+         active), comparing 64 BYTES per step via aligned u64 windows from
+         [rows, 17]-word tables — one text row gather + one row gather
+         into a PER-CHUNK read-word table (dynamic-sliced, so it stays
+         far below the v5e gather row-count cliff); a chunk exits as soon
+         as its ends resolve — then
       2. a vectorized reverse-cummin fill.
 
+    64-byte steps matter on repetitive references: a jump can land on
+    another strain's copy, so post-jump LCPs reach hundreds of bases.
+
     Replaces the reference's SLP extension loop (compute_ms_pml.cpp:802-810)
-    semantics exactly: ptr < 0 (the unsigned-underflow encoding) and
-    text-end / read-end bounds yield the same lengths.
+    semantics exactly for reads whose pointers are all >= 1; reads with
+    reset/underflow pointers take ScanEngine's sequential-carry fallback.
     """
     B, L = reads.shape
     dt = ptrs.dtype
@@ -280,13 +303,20 @@ def extend_pointers_diag(text_words: jnp.ndarray, reads: jnp.ndarray,
     ends = ((iota >= read_lens[:, None] - 1) | (nxt != ptrs + 1)
             | (ptrs <= 0)) & in_read
 
-    # flat per-position state; reads as overlapping u64 word rows
     BL = B * L
     CH = chunk_lanes
     while BL % CH:
         CH //= 2
     nch = BL // CH
-    rwords = build_text_words(reads.reshape(-1), BL)
+    # flat read bytes as u64 words, padded so every chunk's local window
+    # table (chunk bytes + max extension + 17-word row overlap) is in range
+    ROWS = (CH + L) // 64 + 3
+    gpad = (ROWS * 64 + 136) * nch - BL  # safe upper bound per chunk start
+    gpad = max(gpad, ROWS * 64 + 136 - CH)
+    rflat = jnp.concatenate(
+        [reads.reshape(-1), jnp.zeros((gpad,), jnp.uint8)])
+    gwords = jax.lax.bitcast_convert_type(
+        rflat[:(rflat.shape[0] // 8) * 8].reshape(-1, 8), jnp.uint64)
 
     flat_ptr = ptrs.reshape(-1)
     flat_act = (ends & (ptrs >= 0)).reshape(-1)
@@ -295,8 +325,12 @@ def extend_pointers_diag(text_words: jnp.ndarray, reads: jnp.ndarray,
         fp, fa, base = xs
         rpos0 = base * CH + jnp.arange(CH, dtype=dt)
         # read-end byte limit for each lane's read
-        row = rpos0 // L
-        limit = row * L + read_lens[jnp.clip(row, 0, B - 1)]
+        rrow = rpos0 // L
+        limit = rrow * L + read_lens[jnp.clip(rrow, 0, B - 1)]
+        # per-chunk read-word table: ~ (CH+L)/64 rows, far under the cliff
+        ws = jax.lax.dynamic_slice(
+            gwords, ((base * CH // 8).astype(jnp.int32),), (ROWS * 8 + 17,))
+        rtab = _rows17(ws, ROWS)
 
         def cond(st):
             return jnp.any(st[1])
@@ -306,13 +340,13 @@ def extend_pointers_diag(text_words: jnp.ndarray, reads: jnp.ndarray,
             tpos = fp + l
             rpos = rpos0 + l
             kmax = jnp.minimum(jnp.minimum(limit - rpos, nt - tpos),
-                               8).astype(dt)
-            t64 = _aligned_u64(text_words, tpos, dt)
-            r64 = _aligned_u64(rwords, rpos, dt)
-            mb = _match_bytes(t64, r64, dt)
-            k = jnp.clip(jnp.minimum(mb, kmax), 0, 8)
+                               64).astype(dt)
+            ta = _aligned_u64x8(text_words, tpos, dt)
+            ra = _aligned_u64x8(rtab, rpos - base * CH, dt)
+            mb = _match64(ta, ra, dt)
+            k = jnp.clip(jnp.minimum(mb, kmax), 0, 64)
             l = l + jnp.where(act, k, 0)
-            act = act & (k == 8)
+            act = act & (k == 64)
             return l, act
 
         l0 = jnp.zeros((CH,), dt)
