@@ -107,16 +107,27 @@ def _pack_of(idx) -> Optional[int]:
     return None
 
 
-def pick_P(n: int, pack: int) -> Optional[int]:
-    # fewer rows measures faster on v5e until row width passes ~256 B;
-    # prefer the largest P whose row stays around that, then row count
+def pick_P(n: int, pack: int, over_cliff: bool = False) -> Optional[int]:
+    # fewer rows measures faster on v5e until row width passes ~256 B
+    # (P=256 pack=2: 240k reads/s vs P=512's 229k on the 5 Mbp bench);
+    # prefer the largest P at <=256 B, falling back to <=512 B rows
     best = None
-    for P in (64, 128, 256, 512):
-        if -(-n // P) > ROW_CLIFF:
-            continue
-        if _width(P, pack) * 4 > 512:
-            continue
-        best = P
+    for cap in (256, 512):
+        for P in (64, 128, 256, 512):
+            if -(-n // P) > ROW_CLIFF:
+                continue
+            if _width(P, pack) * 4 > cap:
+                continue
+            best = P
+        if best is not None:
+            break
+    if best is None and over_cliff:
+        # past the cliff every row gather costs ~13.6 ns/lane regardless of
+        # row count, but narrow rows at huge row counts are far worse
+        # (scripts/exp_vmem_gather2.py on v5e: 4.1M x 400 B rows = 12.9
+        # ns/lane vs 8.2M x 208 B = 60.7 ns/lane). Take the widest allowed
+        # row; one over-cliff gather still halves engine v2's 5-probe step.
+        return 512
     return best
 
 
@@ -127,8 +138,16 @@ def _width(P: int, pack: int) -> int:
 
 
 def eligible(idx) -> bool:
+    """Under-cliff eligibility: the fast-zone (one ~4 ns gather) regime."""
     pack = _pack_of(idx)
     return pack is not None and pick_P(int(idx.n), pack) is not None
+
+
+def eligible_any(idx) -> bool:
+    """Over-cliff included: one ~13.6 ns gather per step still beats engine
+    v2's multi-probe step at human-genome scale (PERF_NOTES.md round 2)."""
+    pack = _pack_of(idx)
+    return pack is not None and int(idx.n) < 2**31
 
 
 def build_blockbits(idx, P: Optional[int] = None, pack: Optional[int] = None):
@@ -139,7 +158,7 @@ def build_blockbits(idx, P: Optional[int] = None, pack: Optional[int] = None):
         pack = _pack_of(idx)
         assert pack is not None, "alphabet too large for block-bits"
     if P is None:
-        P = pick_P(n, pack)
+        P = pick_P(n, pack, over_cliff=True)
         assert P is not None, "n too large for block-bits (use engine v2)"
     assert P % 32 == 0 and P & (P - 1) == 0
 

@@ -369,6 +369,118 @@ def extend_pointers_diag(text_words: jnp.ndarray, reads: jnp.ndarray,
     return out
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("nt", "seg_positions", "chunk_lanes"))
+def extend_pointers_diag2(text_words: jnp.ndarray, reads: jnp.ndarray,
+                          read_lens: jnp.ndarray, ptrs: jnp.ndarray, nt: int,
+                          seg_positions: int = 131072,
+                          chunk_lanes: int = 16384):
+    """MS extension v3: diagonal-run brute pass with END COMPACTION.
+
+    Same diagonal-run decomposition as extend_pointers_diag (only pointer-
+    diagonal ENDS need a brute LCP; interiors fill arithmetically), but the
+    brute pass no longer burns a gather slot on the ~90% of flat positions
+    that are NOT ends: each segment of `seg_positions` flat read positions
+    compacts its active ends into dense `chunk_lanes`-lane groups with
+    jnp.nonzero(size=...) inside a while_loop (repeats only if a segment has
+    more than chunk_lanes ends — exactness does not depend on the end
+    density). Both the text-window and the per-segment read-window tables
+    stay under the v5e gather row-count cliff, so each 64-byte compare costs
+    two fast row gathers on ACTIVE lanes only.
+
+    Matches the reference's SLP extension loop (compute_ms_pml.cpp:802-810)
+    under the same precondition as v2: all pointers >= 1 (reads with
+    reset/underflow pointers take ScanEngine's sequential-carry fallback).
+    """
+    B, L = reads.shape
+    dt = ptrs.dtype
+    iota = jnp.arange(L, dtype=dt)[None, :]
+
+    nxt = jnp.concatenate([ptrs[:, 1:], jnp.full((B, 1), -(1 << 30), dt)],
+                          axis=1)
+    in_read = iota < read_lens[:, None]
+    ends = ((iota >= read_lens[:, None] - 1) | (nxt != ptrs + 1)
+            | (ptrs <= 0)) & in_read
+
+    BL = B * L
+    SEG = min(seg_positions, BL)
+    while BL % SEG:
+        SEG //= 2
+    CH = min(chunk_lanes, SEG)
+    nseg = BL // SEG
+    ROWS = (SEG + L) // 64 + 3
+    gpad = (ROWS * 64 + 136) * nseg - BL
+    gpad = max(gpad, ROWS * 64 + 136 - SEG)
+    rflat = jnp.concatenate(
+        [reads.reshape(-1), jnp.zeros((gpad,), jnp.uint8)])
+    gwords = jax.lax.bitcast_convert_type(
+        rflat[:(rflat.shape[0] // 8) * 8].reshape(-1, 8), jnp.uint64)
+
+    flat_ptr = ptrs.reshape(-1)
+    flat_act = (ends & (ptrs >= 0)).reshape(-1)
+
+    def seg_body(carry, xs):
+        fp, fa, base = xs                       # [SEG], [SEG] bool, scalar
+        seg0 = (base * SEG).astype(dt)
+        ws = jax.lax.dynamic_slice(
+            gwords, ((base * SEG // 8).astype(jnp.int32),), (ROWS * 8 + 17,))
+        rtab = _rows17(ws, ROWS)
+
+        def outer_cond(st):
+            return jnp.any(st[1])
+
+        def outer_body(st):
+            l_seg, rem = st
+            idx = jnp.nonzero(rem, size=CH, fill_value=SEG)[0]
+            valid = idx < SEG                   # fill slots stay inactive
+            rem = rem.at[idx].set(False)        # OOB fills are dropped
+            idc = jnp.clip(idx, 0, SEG - 1)
+            p = fp[idc]
+            rpos0 = seg0 + idx.astype(dt)
+            rrow = rpos0 // L
+            limit = rrow * L + read_lens[jnp.clip(rrow, 0, B - 1)]
+
+            def cond(s):
+                return jnp.any(s[1])
+
+            def body(s):
+                l, act = s
+                tpos = p + l
+                rpos = rpos0 + l
+                kmax = jnp.minimum(jnp.minimum(limit - rpos, nt - tpos),
+                                   64).astype(dt)
+                ta = _aligned_u64x8(text_words, tpos, dt)
+                ra = _aligned_u64x8(rtab, rpos - seg0, dt)
+                mb = _match64(ta, ra, dt)
+                k = jnp.clip(jnp.minimum(mb, kmax), 0, 64)
+                l = l + jnp.where(act, k, 0)
+                act = act & (k == 64)
+                return l, act
+
+            l0 = jnp.zeros((CH,), dt)
+            l, _ = jax.lax.while_loop(cond, body, (l0, valid))
+            l_seg = l_seg.at[idx].set(l)        # OOB fills are dropped
+            return l_seg, rem
+
+        l_seg0 = jnp.zeros((SEG,), dt)
+        l_seg, _ = jax.lax.while_loop(outer_cond, outer_body, (l_seg0, fa))
+        return carry, l_seg
+
+    _, l_flat = jax.lax.scan(
+        seg_body, 0,
+        (flat_ptr.reshape(nseg, SEG), flat_act.reshape(nseg, SEG),
+         jnp.arange(nseg, dtype=dt)))
+    l_brute = l_flat.reshape(B, L)
+
+    e_idx = jax.lax.cummin(jnp.where(ends, iota, L + L), axis=1,
+                           reverse=True)
+    e_c = jnp.clip(e_idx, 0, L - 1).astype(jnp.int32)
+    l_e = jnp.take_along_axis(l_brute, e_c, axis=1)
+    out = (e_idx - iota).astype(dt) + l_e
+    out = jnp.where((ptrs >= 0) & in_read & (e_idx < L + L), out, 0)
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("nt",))
 def extend_pointers_kernel(text: jnp.ndarray, reads: jnp.ndarray,
                            read_lens: jnp.ndarray, ptrs: jnp.ndarray, nt: int):

@@ -467,9 +467,9 @@ def _make_engine(cfg: RunConfig, dense: DenseIndex):
             cfg.engine == "auto" and cfg.mode == "pml" and not cfg.use_doc
             and _blockbits_eligible(dense)):
         from .engine import blockbits
-        if not blockbits.eligible(dense):
-            raise ValueError("block-bits engine needs sigma <= 8 and n under "
-                             "the gather row-count cliff (use engine=layered)")
+        if not blockbits.eligible_any(dense):
+            raise ValueError("block-bits engine needs sigma <= 8 and int32 "
+                             "positions (use engine=layered)")
         arrays, meta, host = blockbits.build_blockbits(dense)
     else:
         from .engine.layered import build_layered
@@ -478,8 +478,10 @@ def _make_engine(cfg: RunConfig, dense: DenseIndex):
 
 
 def _blockbits_eligible(dense: DenseIndex) -> bool:
+    # over-cliff v4 (one ~13.6 ns gather/step) still beats v2's multi-probe
+    # step at human-genome scale, so auto-select it whenever it fits int32
     from .engine import blockbits
-    return blockbits.eligible(dense)
+    return blockbits.eligible_any(dense)
 
 
 def _unorder(dense: DenseIndex, field: str):

@@ -143,3 +143,36 @@ def test_blockbits_fused_classify_matches_host(rng, make_reads):
         assert out["above"][i] == res.bins_above, i
         assert out["below"][i] == res.bins_below, i
         assert bool(out["found"][i]) == (res.status == "FOUND"), i
+
+
+def test_pick_P_over_cliff_selection():
+    """Past the gather row-count cliff (n > 512 * 2^17) there is no
+    under-cliff P; the over-cliff fallback must take the widest row (P=512,
+    400 B — measured 4.7x cheaper per lane than 208 B rows at human-genome
+    row counts, PERF_NOTES.md round 2)."""
+    from spumoni_tpu.engine.blockbits import pick_P
+
+    small, huge = 5_000_000, 2_100_000_001
+    assert pick_P(small, 2) == 256          # under-cliff optimum unchanged
+    assert pick_P(small, 2, over_cliff=True) == 256
+    assert pick_P(huge, 2) is None
+    assert pick_P(huge, 2, over_cliff=True) == 512
+
+
+def test_eligible_any_int32_bound(rng):
+    """eligible() stays the under-cliff fast-zone predicate; eligible_any()
+    admits over-cliff sizes but never positions past int32."""
+    from spumoni_tpu.engine.blockbits import eligible_any
+
+    _, dense, _ = _setup(rng, 3000)
+    assert eligible(dense) and eligible_any(dense)
+
+    class FakeN:
+        def __init__(self, base, n):
+            self.cnt = base.cnt
+            self.n = n
+
+    over_cliff = FakeN(dense, 2_100_000_001)
+    assert not eligible(over_cliff) and eligible_any(over_cliff)
+    past_int32 = FakeN(dense, 2**31)
+    assert not eligible_any(past_int32)

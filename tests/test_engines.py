@@ -151,3 +151,52 @@ def test_extension_diag_matches_while_kernel(rng, make_reads):
             jnp.asarray(pf), nt))
         for j in range(B):
             assert np.array_equal(a_[j, :rl[j]], b_[j, :rl[j]]), j
+
+
+def test_extension_diag2_compaction_matches_v2(rng, make_reads):
+    """The end-compacted brute pass (v3) must equal v2 and the two-pointer
+    oracle, including when a segment holds MORE active ends than one
+    compaction group (chunk_lanes < ends per segment forces the outer
+    recompaction loop) and when segments cross read boundaries."""
+    import jax.numpy as jnp
+    from spumoni_tpu.engine.scan_engine import (build_text_words,
+                                                extend_pointers_diag,
+                                                extend_pointers_diag2,
+                                                extend_pointers_kernel)
+
+    text = rand_dna(rng, 6000)
+    raw, dense, native = _build(text)
+    arrays, meta = to_device_arrays(dense)
+    nt = int(arrays.text.shape[0])
+    tw = build_text_words(arrays.text, nt)
+
+    reads = make_reads(rng, text, num=14, max_len=256)
+    reads.append(text[100:350])                  # one diagonal, long LCP
+    # pathological: alternating random bases break every diagonal -> ~all
+    # in-read positions are ends
+    reads.append(bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), 256)))
+    ptrs, _ = native.query_ms(reads)
+    normal = [i for i in range(len(reads)) if (ptrs[i] >= 1).all()]
+    B, L = len(normal), 256
+    fwd = np.zeros((B, L), np.uint8)
+    pf = np.zeros((B, L), np.int64)
+    rl = np.zeros((B,), np.int64)
+    for j, i in enumerate(normal):
+        a = np.frombuffer(reads[i], np.uint8)[:L]
+        fwd[j, :len(a)] = a
+        pf[j, :len(a)] = ptrs[i][:L]
+        rl[j] = len(a)
+    v2 = np.asarray(extend_pointers_diag(
+        tw, jnp.asarray(fwd), jnp.asarray(rl), jnp.asarray(pf), nt))
+    oracle = np.asarray(extend_pointers_kernel(
+        arrays.text, jnp.asarray(fwd), jnp.asarray(rl), jnp.asarray(pf), nt))
+    # chunk_lanes=64 << ends per 1024-position segment: outer loop must
+    # recompact several times; also cover SEG == BL and CH == SEG
+    for seg, ch in ((1024, 64), (B * L, 16384), (512, 512)):
+        v3 = np.asarray(extend_pointers_diag2(
+            tw, jnp.asarray(fwd), jnp.asarray(rl), jnp.asarray(pf), nt,
+            seg_positions=seg, chunk_lanes=ch))
+        for j in range(B):
+            assert np.array_equal(v3[j, :rl[j]], v2[j, :rl[j]]), (seg, ch, j)
+            assert np.array_equal(v3[j, :rl[j]], oracle[j, :rl[j]]), \
+                (seg, ch, j)
