@@ -369,6 +369,38 @@ def extend_pointers_diag(text_words: jnp.ndarray, reads: jnp.ndarray,
     return out
 
 
+def _cumsum_doubling(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive prefix sum along the last axis via log-step doubling
+    (shifted adds only). jnp.cumsum/reduce-window on long axes allocates
+    scoped VMEM proportional to axis length on v5e (compile-time OOM past
+    ~2^14); this stays at O(1) scratch per step."""
+    n = int(x.shape[-1])
+    pad = [(0, 0)] * (x.ndim - 1)
+    sh = 1
+    while sh < n:
+        x = x + jnp.pad(x, pad + [(sh, 0)])[..., :-sh]
+        sh *= 2
+    return x
+
+
+def _compact_indices(rem: jnp.ndarray, CH: int):
+    """Manual nonzero(size=CH, fill=SEG): ascending indices of the first
+    <=CH set bits of `rem` [SEG], plus `rem` with those bits cleared.
+    Blocked [SEG/128, 128] + doubling prefix sums keep the lowering free of
+    large reduce-windows (jnp.nonzero's cumsum OOMs scoped VMEM at 2^17)."""
+    SEG = int(rem.shape[0])
+    m = rem.reshape(-1, 128).astype(jnp.int32)
+    inc = _cumsum_doubling(m)                          # [S1, 128] inclusive
+    rowsum = inc[:, -1]
+    rows = _cumsum_doubling(rowsum) - rowsum           # exclusive row offset
+    pos = (rows[:, None] + inc - m).reshape(-1)        # rank of each set bit
+    take = rem & (pos < CH)
+    src = jnp.arange(SEG, dtype=jnp.int32)
+    idx = jnp.full((CH,), SEG, jnp.int32)
+    idx = idx.at[jnp.where(take, pos, CH)].set(src)    # index CH is dropped
+    return idx, rem & ~take
+
+
 @functools.partial(jax.jit,
                    static_argnames=("nt", "seg_positions", "chunk_lanes"))
 def extend_pointers_diag2(text_words: jnp.ndarray, reads: jnp.ndarray,
@@ -406,6 +438,7 @@ def extend_pointers_diag2(text_words: jnp.ndarray, reads: jnp.ndarray,
     SEG = min(seg_positions, BL)
     while BL % SEG:
         SEG //= 2
+    assert SEG % 128 == 0, SEG  # _compact_indices reshapes to [SEG/128, 128]
     CH = min(chunk_lanes, SEG)
     nseg = BL // SEG
     ROWS = (SEG + L) // 64 + 3
@@ -425,20 +458,35 @@ def extend_pointers_diag2(text_words: jnp.ndarray, reads: jnp.ndarray,
         ws = jax.lax.dynamic_slice(
             gwords, ((base * SEG // 8).astype(jnp.int32),), (ROWS * 8 + 17,))
         rtab = _rows17(ws, ROWS)
+        # 64 B-ALIGNED read rows: after the peeled first step every
+        # surviving lane's rpos is a multiple of 64, so later iterations
+        # read the read-side window with ONE plain row gather (no per-lane
+        # shift/select machinery, which dominates the unaligned path)
+        rtab8 = ws[:ROWS * 8].reshape(ROWS, 8)
 
         def outer_cond(st):
             return jnp.any(st[1])
 
         def outer_body(st):
             l_seg, rem = st
-            idx = jnp.nonzero(rem, size=CH, fill_value=SEG)[0]
+            idx, rem = _compact_indices(rem, CH)
             valid = idx < SEG                   # fill slots stay inactive
-            rem = rem.at[idx].set(False)        # OOB fills are dropped
             idc = jnp.clip(idx, 0, SEG - 1)
             p = fp[idc]
             rpos0 = seg0 + idx.astype(dt)
             rrow = rpos0 // L
             limit = rrow * L + read_lens[jnp.clip(rrow, 0, B - 1)]
+
+            # peeled first step: unaligned both sides, window w0 chosen so
+            # survivors land on the read-side 64 B grid
+            w0 = 64 - (rpos0 & 63)
+            kmax0 = jnp.minimum(
+                jnp.minimum(limit - rpos0, nt - p), w0).astype(dt)
+            ta = _aligned_u64x8(text_words, p, dt)
+            ra = _aligned_u64x8(rtab, rpos0 - seg0, dt)
+            k0 = jnp.clip(jnp.minimum(_match64(ta, ra, dt), kmax0), 0, 64)
+            l1 = jnp.where(valid, k0, 0)
+            act1 = valid & (k0 == w0)
 
             def cond(s):
                 return jnp.any(s[1])
@@ -446,19 +494,18 @@ def extend_pointers_diag2(text_words: jnp.ndarray, reads: jnp.ndarray,
             def body(s):
                 l, act = s
                 tpos = p + l
-                rpos = rpos0 + l
+                rpos = rpos0 + l                # multiple of 64 while active
                 kmax = jnp.minimum(jnp.minimum(limit - rpos, nt - tpos),
                                    64).astype(dt)
                 ta = _aligned_u64x8(text_words, tpos, dt)
-                ra = _aligned_u64x8(rtab, rpos - seg0, dt)
+                ra = rtab8[jnp.clip((rpos - seg0) >> 6, 0, ROWS - 1)]
                 mb = _match64(ta, ra, dt)
                 k = jnp.clip(jnp.minimum(mb, kmax), 0, 64)
                 l = l + jnp.where(act, k, 0)
                 act = act & (k == 64)
                 return l, act
 
-            l0 = jnp.zeros((CH,), dt)
-            l, _ = jax.lax.while_loop(cond, body, (l0, valid))
+            l, _ = jax.lax.while_loop(cond, body, (l1, act1))
             l_seg = l_seg.at[idx].set(l)        # OOB fills are dropped
             return l_seg, rem
 
