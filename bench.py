@@ -173,6 +173,7 @@ def bench_tpu_ms(raw, text, rng):
     from spumoni_tpu.index.format import build_dense_index
     from spumoni_tpu.engine.layered import build_layered
     from spumoni_tpu.engine.scan_engine import (build_text_words,
+                                                build_text_wide,
                                                 extend_pointers_diag,
                                                 query_batch_kernel_v2)
 
@@ -181,6 +182,7 @@ def bench_tpu_ms(raw, text, rng):
     arrays, meta, host = build_layered(dense)
     nt = int(arrays.text.shape[0])
     tw = build_text_words(arrays.text, nt)
+    twide = build_text_wide(arrays.text, nt)
 
     reads = make_reads(rng, text, B_ms, L)
     rev = np.ascontiguousarray(reads[:, ::-1])
@@ -193,7 +195,8 @@ def bench_tpu_ms(raw, text, rng):
     def step():
         ptrs, _, _ = query_batch_kernel_v2(arrays, rev_d, meta, "ms",
                                            False, planes)
-        lens_ = extend_pointers_diag(tw, fwd_d, lens_d, ptrs[:, ::-1], nt)
+        lens_ = extend_pointers_diag(tw, fwd_d, lens_d, ptrs[:, ::-1], nt,
+                                     text_wide=twide)
         return lens_
 
     np.asarray(step()[:1])  # compile + warm
@@ -276,6 +279,25 @@ def _scale_ready():
                for f in ("bb.npz", "raw.npz", "reads.npz"))
 
 
+def _device_put_chunked(a, max_mb=128):
+    """device_put in <=max_mb slices + on-device concat: a single >1 GB
+    device_put message hangs the axon tunnel (PERF_NOTES round 2)."""
+    import jax
+    import jax.numpy as jnp
+    step = max(1, (max_mb << 20) // max(1, a.nbytes // max(1, a.shape[0])))
+    if a.shape[0] <= step:
+        return jax.device_put(jnp.asarray(a))
+    parts = []
+    for i in range(0, a.shape[0], step):
+        parts.append(jax.device_put(np.ascontiguousarray(a[i:i + step])))
+        np.asarray(parts[-1].reshape(-1)[:1])  # fence: one in flight at a time
+        print(f"  h2d {min(i + step, a.shape[0])}/{a.shape[0]} rows",
+              file=sys.stderr, flush=True)
+    out = jnp.concatenate(parts, axis=0)
+    np.asarray(out.reshape(-1)[:1])
+    return out
+
+
 def bench_tpu_scale():
     """Human-genome-scale PML classify (BASELINE.md's stated >=5x target is
     "on a human-genome PML index"): 2.1 Gbp / r~1.9e8 synthetic pangenome,
@@ -293,7 +315,7 @@ def bench_tpu_scale():
     meta = BitMeta(P=P, width=width, sigma=sigma, pack=pack, dtype="int32",
                    term_pos=term_pos, term_code=term_code, F_term=F_term)
     arrays = BitArrays(
-        bblocks=jax.device_put(jnp.asarray(d["bblocks"])),
+        bblocks=_device_put_chunked(d["bblocks"]),
         n=jnp.asarray(d["n"]),
         last_run_sample=jnp.asarray(d["last_run_sample"]),
         last_run_edoc=jnp.asarray(d["last_run_edoc"]),
@@ -316,11 +338,16 @@ def bench_tpu_scale():
         return fused_classify_kernel(arrays, rev_d, lens_d, thr, meta, "pml",
                                      rp, bin_width, planes)
 
-    rev_d = jax.device_put(jnp.asarray(rev))
+    t_tr = time.time()
+    rev_d = _device_put_chunked(np.ascontiguousarray(rev))
     lens_d = jax.device_put(jnp.asarray(lens))
-    jax.block_until_ready((rev_d, lens_d))
+    np.asarray(lens_d[:1])
+    print(f"  transfers done ({time.time() - t_tr:.0f} s)", file=sys.stderr,
+          flush=True)
     found, above, below, _ = step(rev_d, lens_d)   # compile + warm
     found = np.asarray(found)
+    print(f"  first step done ({time.time() - t_tr:.0f} s)", file=sys.stderr,
+          flush=True)
     assert found[::2].mean() > 0.95 and found[1::2].mean() < 0.05, \
         (found[::2].mean(), found[1::2].mean())
 

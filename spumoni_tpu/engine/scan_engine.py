@@ -229,20 +229,69 @@ def _rows17(words: jnp.ndarray, rows: int) -> jnp.ndarray:
     return jnp.concatenate([main, second, last[:, None]], axis=1)
 
 
+def _rows_overlap(words: jnp.ndarray, rows: int, stride_w: int,
+                  width_w: int) -> jnp.ndarray:
+    """[rows, width_w] overlapping u64 rows at stride_w words: row g =
+    words[stride_w*g .. stride_w*g + width_w - 1]. Caller pads `words` to
+    >= stride_w*(rows-1) + width_w entries."""
+    parts = []
+    o = 0
+    while o + stride_w <= width_w:
+        parts.append(words[o:o + rows * stride_w].reshape(rows, stride_w))
+        o += stride_w
+    for j in range(width_w - o):
+        parts.append(words[o + j::stride_w][:rows, None])
+    return jnp.concatenate(parts, axis=1)
+
+
+def build_text_wide(text: jnp.ndarray, nt: int, W: int = 256) -> jnp.ndarray:
+    """[ceil(nt/W), W/4+1] u64 rows at W-byte stride: row g holds bytes
+    Wg .. Wg+2W+7, so any W-byte window starting in block g is one row
+    gather + butterfly away. Used for the wide phase of the MS extension
+    (long post-jump tails on repetitive references)."""
+    rows = -(-int(nt) // W)
+    stride_w, width_w = W // 8, W // 4 + 1
+    pad = (stride_w * (rows - 1) + width_w) * 8 - int(text.shape[0])
+    t = jnp.concatenate([text, jnp.zeros((max(pad, 0),), jnp.uint8)])
+    words = jax.lax.bitcast_convert_type(
+        t[:(t.shape[0] // 8) * 8].reshape(-1, 8), jnp.uint64)
+    return _rows_overlap(words, rows, stride_w, width_w)
+
+
+def _window_bytes(rowtab, bytepos, W, dt):
+    """[B, W/8] u64 = W little-endian bytes starting at `bytepos`, from a
+    build_text_wide-style table: one row gather + a log2(W)-step byte
+    butterfly."""
+    shift = W.bit_length() - 1
+    row = rowtab[jnp.clip(bytepos >> shift, 0, rowtab.shape[0] - 1)]
+    b = jax.lax.bitcast_convert_type(row, jnp.uint8)
+    b = b.reshape(b.shape[0], (W // 4 + 1) * 8)
+    off = bytepos & (W - 1)
+    s = W // 2
+    while s:
+        take = ((off & s) != 0)[:, None]
+        b = jnp.where(take, b[:, s:], b[:, :b.shape[1] - s])
+        s //= 2
+    return jax.lax.bitcast_convert_type(
+        b[:, :W].reshape(b.shape[0], W // 8, 8), jnp.uint64)
+
+
 def _aligned_u64x8(rowtab, bytepos, dt):
     """[B, 8] aligned u64 words = 64 little-endian bytes starting at
-    `bytepos`, via one row gather into a [rows, 17] table + per-lane
-    shifts."""
+    `bytepos`, via one row gather into a [rows, 17] table + a BYTE-LEVEL
+    BUTTERFLY shifter: 6 predicated two-way selects on a u8 view replace
+    the 17x9 one-hot word select + per-lane variable u64 shifts (u64 ops
+    are emulated as 32-bit pairs on TPU — the one-hot/shift form dominated
+    the whole compare iteration at ~25 ns/lane)."""
     row = rowtab[jnp.clip(bytepos >> 6, 0, rowtab.shape[0] - 1)]  # [B, 17]
-    wi = (bytepos >> 3) & 7
-    g = jnp.arange(17, dtype=dt)[None, :, None]                   # [1,17,1]
-    tgt = wi[:, None, None] + jnp.arange(9, dtype=dt)[None, None, :]
-    ws = jnp.sum(jnp.where(g == tgt, row[:, :, None], 0), axis=1,
-                 dtype=jnp.uint64)                                # [B, 9]
-    sh = ((bytepos & 7) * 8).astype(jnp.uint64)[:, None]
-    hi = jnp.where(sh == 0, jnp.uint64(0),
-                   ws[:, 1:] << (jnp.uint64(64) - sh))
-    return (ws[:, :8] >> sh) | hi                                 # [B, 8]
+    b = jax.lax.bitcast_convert_type(row, jnp.uint8)
+    b = b.reshape(b.shape[0], 136)
+    off = bytepos & 63
+    for s in (32, 16, 8, 4, 2, 1):
+        take = ((off & s) != 0)[:, None]
+        b = jnp.where(take, b[:, s:], b[:, :b.shape[1] - s])
+    return jax.lax.bitcast_convert_type(
+        b[:, :64].reshape(b.shape[0], 8, 8), jnp.uint64)          # [B, 8]
 
 
 def _match_bytes(t64, r64, dt):
@@ -261,10 +310,25 @@ def _match64(ta, ra, dt):
     return k                                                      # 0..64
 
 
+def _matchW(ta, ra, dt):
+    """Leading equal bytes of two [B, K]-u64-word windows (K*8 when
+    identical): k = sum_j mb_j * prod_{i<j}[word i fully equal], with the
+    prefix product in log2(K) doubling steps."""
+    mb = _match_bytes(ta, ra, dt)                                 # [B, K]
+    K = mb.shape[1]
+    pf = (mb == 8).astype(dt)
+    sh = 1
+    while sh < K:
+        pf = pf * jnp.pad(pf, ((0, 0), (sh, 0)), constant_values=1)[:, :-sh]
+        sh *= 2
+    pe = jnp.pad(pf, ((0, 0), (1, 0)), constant_values=1)[:, :-1]
+    return (mb * pe).sum(axis=1, dtype=dt)
+
+
 @functools.partial(jax.jit, static_argnames=("nt", "chunk_lanes"))
 def extend_pointers_diag(text_words: jnp.ndarray, reads: jnp.ndarray,
                          read_lens: jnp.ndarray, ptrs: jnp.ndarray, nt: int,
-                         chunk_lanes: int = 16384):
+                         chunk_lanes: int = 16384, text_wide=None):
     """MS extension v2: pointers -> lengths via DIAGONAL-RUN structure.
 
     Consecutive MS pointers (ptr[i+1] == ptr[i] + 1, ptr[i] >= 1) imply
@@ -285,7 +349,12 @@ def extend_pointers_diag(text_words: jnp.ndarray, reads: jnp.ndarray,
       2. a vectorized reverse-cummin fill.
 
     64-byte steps matter on repetitive references: a jump can land on
-    another strain's copy, so post-jump LCPs reach hundreds of bases.
+    another strain's copy, so post-jump LCPs reach hundreds of bases. Each
+    iteration is LATENCY-bound (~0.4 ms at 16k lanes regardless of lane
+    count or VPU work — PERF_NOTES round 2), so with `text_wide`
+    (build_text_wide) the loop ESCALATES: after two 64-byte steps the
+    surviving long tails switch to 256-byte compare windows, cutting the
+    sequential iteration count on strain-jump tails ~4x.
 
     Replaces the reference's SLP extension loop (compute_ms_pml.cpp:802-810)
     semantics exactly for reads whose pointers are all >= 1; reads with
@@ -309,10 +378,11 @@ def extend_pointers_diag(text_words: jnp.ndarray, reads: jnp.ndarray,
         CH //= 2
     nch = BL // CH
     # flat read bytes as u64 words, padded so every chunk's local window
-    # table (chunk bytes + max extension + 17-word row overlap) is in range
+    # table (chunk bytes + max extension + row overlap) is in range
     ROWS = (CH + L) // 64 + 3
-    gpad = (ROWS * 64 + 136) * nch - BL  # safe upper bound per chunk start
-    gpad = max(gpad, ROWS * 64 + 136 - CH)
+    ROWS_W = (CH + L) // 256 + 2
+    WS_WORDS = max(ROWS * 8 + 17, (ROWS_W - 1) * 32 + 65)
+    gpad = WS_WORDS * 8
     rflat = jnp.concatenate(
         [reads.reshape(-1), jnp.zeros((gpad,), jnp.uint8)])
     gwords = jax.lax.bitcast_convert_type(
@@ -329,13 +399,10 @@ def extend_pointers_diag(text_words: jnp.ndarray, reads: jnp.ndarray,
         limit = rrow * L + read_lens[jnp.clip(rrow, 0, B - 1)]
         # per-chunk read-word table: ~ (CH+L)/64 rows, far under the cliff
         ws = jax.lax.dynamic_slice(
-            gwords, ((base * CH // 8).astype(jnp.int32),), (ROWS * 8 + 17,))
+            gwords, ((base * CH // 8).astype(jnp.int32),), (WS_WORDS,))
         rtab = _rows17(ws, ROWS)
 
-        def cond(st):
-            return jnp.any(st[1])
-
-        def body(st):
+        def body64(st):
             l, act = st
             tpos = fp + l
             rpos = rpos0 + l
@@ -350,7 +417,39 @@ def extend_pointers_diag(text_words: jnp.ndarray, reads: jnp.ndarray,
             return l, act
 
         l0 = jnp.zeros((CH,), dt)
-        l, _ = jax.lax.while_loop(cond, body, (l0, fa))
+        if text_wide is None:
+            l, _ = jax.lax.while_loop(lambda st: jnp.any(st[1]), body64,
+                                      (l0, fa))
+            return carry, l
+
+        # phase 1: at most two 64 B steps (resolves the short-LCP bulk)
+        def cond1(st):
+            l, act, t = st
+            return jnp.any(act) & (t < 2)
+
+        l, act, _ = jax.lax.while_loop(
+            cond1, lambda st: (*body64(st[:2]), st[2] + 1),
+            (l0, fa, jnp.int32(0)))
+
+        # phase 2: survivors are long tails — 256 B compare windows
+        rtab_w = _rows_overlap(ws, ROWS_W, 32, 65)
+
+        def body256(st):
+            l, act = st
+            tpos = fp + l
+            rpos = rpos0 + l
+            kmax = jnp.minimum(jnp.minimum(limit - rpos, nt - tpos),
+                               256).astype(dt)
+            ta = _window_bytes(text_wide, tpos, 256, dt)
+            ra = _window_bytes(rtab_w, rpos - base * CH, 256, dt)
+            mb = _matchW(ta, ra, dt)
+            k = jnp.clip(jnp.minimum(mb, kmax), 0, 256)
+            l = l + jnp.where(act, k, 0)
+            act = act & (k == 256)
+            return l, act
+
+        l, _ = jax.lax.while_loop(lambda st: jnp.any(st[1]), body256,
+                                  (l, act))
         return carry, l
 
     _, l_flat = jax.lax.scan(
@@ -630,6 +729,7 @@ class ScanEngine:
                      else arrays.c_start.shape[0])
         self.nt = int(arrays.text.shape[0]) if arrays.text is not None else 0
         self._text_words = None  # built lazily for the MS extension
+        self._text_wide = None   # 256 B-window table (extension phase 2)
 
     def _bucket_L(self, m: int) -> int:
         L = self.pad_to
@@ -763,10 +863,13 @@ class ScanEngine:
                 if self._text_words is None:
                     self._text_words = build_text_words(self.arrays.text,
                                                         self.nt)
+                    self._text_wide = build_text_wide(self.arrays.text,
+                                                      self.nt)
                 lens_mat = np.array(extend_pointers_diag(
                     self._text_words, jnp.asarray(fwd),
                     jnp.asarray(lens.astype(vals.dtype)),
-                    jnp.asarray(ptrs_fwd), self.nt))
+                    jnp.asarray(ptrs_fwd), self.nt,
+                    text_wide=self._text_wide))
                 # Reads with any pointer <= 0 (reset artifacts / unsigned
                 # underflow from index-absent chars) take the reference's
                 # QUIRK path: the extension carry l = max(l-1, 0) applies

@@ -151,6 +151,16 @@ def test_extension_diag_matches_while_kernel(rng, make_reads):
             jnp.asarray(pf), nt))
         for j in range(B):
             assert np.array_equal(a_[j, :rl[j]], b_[j, :rl[j]]), j
+        # hybrid wide-window escalation path (text_wide) must match too —
+        # the exact-substring read (300-byte single diagonal) forces the
+        # 256 B phase
+        from spumoni_tpu.engine.scan_engine import build_text_wide
+        twide = build_text_wide(arrays.text, nt)
+        c_ = np.asarray(extend_pointers_diag(
+            tw, jnp.asarray(fwd), jnp.asarray(rl), jnp.asarray(pf), nt,
+            text_wide=twide))
+        for j in range(B):
+            assert np.array_equal(c_[j, :rl[j]], b_[j, :rl[j]]), j
 
 
 def test_extension_diag2_compaction_matches_v2(rng, make_reads):
