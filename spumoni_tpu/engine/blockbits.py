@@ -125,9 +125,12 @@ def pick_P(n: int, pack: int, over_cliff: bool = False) -> Optional[int]:
         # past the cliff every row gather costs ~13.6 ns/lane regardless of
         # row count, but narrow rows at huge row counts are far worse
         # (scripts/exp_vmem_gather2.py on v5e: 4.1M x 400 B rows = 12.9
-        # ns/lane vs 8.2M x 208 B = 60.7 ns/lane). Take the widest allowed
-        # row; one over-cliff gather still halves engine v2's 5-probe step.
-        return 512
+        # ns/lane vs 8.2M x 208 B = 60.7 ns/lane). Take the largest P whose
+        # row still fits the 512 B cap the under-cliff selector honors
+        # (512 for pack=2 = 400 B rows; 128 for pack=4 = 288 B rows).
+        for P in (512, 256, 128, 64):
+            if _width(P, pack) * 4 <= 512:
+                return P
     return best
 
 
@@ -185,82 +188,98 @@ def build_blockbits(idx, P: Optional[int] = None, pack: Optional[int] = None):
     run_heads = np.asarray(idx.run_heads, dtype=np.uint8)
     run_starts = np.asarray(idx.run_starts, dtype=np.int64)
     run_len_rm = np.diff(np.concatenate([run_starts, [n]]))
-    bwt_bytes = np.repeat(run_heads, run_len_rm)            # [n]
+    bwt_bytes = np.repeat(run_heads, run_len_rm)            # [n] u8
 
     nb = -(-n // P)
-    padlen = nb * P - n
-    if padlen:
-        bwt_bytes = np.concatenate(
-            [bwt_bytes, np.zeros(padlen, dtype=np.uint8)])  # byte 0: no code
-
-    codes = rmap[bwt_bytes]
+    pad_code = 0
     if pack == 2 and cnt[TERM_BYTE]:
-        term_pos = int(np.nonzero(bwt_bytes == TERM_BYTE)[0][0])
+        # terminator position straight from the run table (its run has
+        # length 1 since cnt[TERM_BYTE] == 1)
+        term_pos = int(run_starts[np.nonzero(run_heads == TERM_BYTE)[0][0]])
         term_code = 0
         F_term = int(F[TERM_BYTE])
-        codes[term_pos] = term_code                         # alias
-        # block padding + any non-code byte: alias code 0 as well; they are
+        # block padding + any non-code byte aliases a code; they are
         # excluded from rank by the true-count checkpoints only if absent —
-        # assert the text has none besides the terminator
-        assert set(np.unique(bwt_bytes)) <= (
-            set(code_chars.tolist()) | {TERM_BYTE} | ({0} if padlen else set()))
-        codes[bwt_bytes == 0] = 3 if len(code_chars) < 4 else term_code
+        # assert the BWT has none besides the terminator (unique run heads
+        # == unique BWT bytes; pad byte 0 is appended separately below)
+        assert set(np.unique(run_heads)) <= (
+            set(code_chars.tolist()) | {TERM_BYTE})
+        pad_code = 3 if len(code_chars) < 4 else term_code
         # NOTE: pad positions are never gathered for rank at offsets < off
         # with pos < n, and pos <= n-1 always, so pad aliasing is inert
         # except inside the LAST block past offset (n-1)%P — unreachable.
-    else:
-        codes = np.where(codes == MAX_SIGMA, MAX_SIGMA, codes)
 
-    blocks2d = codes.reshape(nb, P)
-
-    # occ checkpoints in F-space from TRUE characters (alias-free):
-    # cp[b][k] = F[char_k] + occ(char_k, b*P)
-    bb2d = bwt_bytes.reshape(nb, P)
-    cp = np.zeros((nb, nslots), dtype=np.int64)
-    bc = np.zeros((nb, nslots), dtype=np.int64)
-    for k, ch in enumerate(code_chars):
-        bc[:, k] = (bb2d == ch).sum(axis=1)
-    cp[1:] = np.cumsum(bc, axis=0)[:-1]
-    cp[:, :len(code_chars)] += F[code_chars][None, :]
-
-    # characters, pack-bit codes, little-endian within each i32 word
+    # Rows are assembled CHUNK-WISE (advisor round 2): the previous
+    # whole-index build materialized several [n]-sized int64 temporaries
+    # (~17 GB each at 2.1 Gbp) and a second int64 copy of the rows; blocks
+    # of ~2^24 positions keep peak extra memory at ~300 MB regardless of n.
     per_word = 32 // pack
     nwcw = P // per_word
-    words = np.zeros((nb, nwcw), dtype=np.uint32)
-    for j in range(per_word):
-        words += (blocks2d[:, j::per_word].astype(np.uint32)
-                  & ((1 << pack) - 1)) << (pack * j)
-    words = words.view(np.int32).astype(np.int64)
-
-    # up-bits: bit (k, pos) = pos < threshold of the run containing the
-    # next occurrence of code-char k at/after pos (the `pos < thr` branch
-    # of compute_ms_pml.cpp:270-277). Positions past the last run get 1
-    # (don't-care: the kernel forces jump-up when has_next is false).
+    wpc = P // 32
+    W = _width(P, pack)
+    C0, W0, T0 = 0, nslots, nslots + nwcw
+    rows = np.zeros((nb, W), dtype=np.int32)
+    # occ checkpoints carried in F-space: cp[b][k] = F[char_k] + occ(char_k,
+    # b*P), accumulated across chunks
+    occ_run = F[code_chars].astype(np.int64).copy()
     char_off = np.asarray(idx.char_off, dtype=np.int64)
     c_start = np.asarray(idx.c_start, dtype=np.int64)
     c_thr = np.asarray(idx.c_thr, dtype=np.int64)
-    wpc = P // 32
-    allpos = np.arange(nb * P, dtype=np.int64)
-    bit_words = np.zeros((nb, nslots * wpc), dtype=np.uint32)
-    shifts = np.arange(32, dtype=np.uint32)
-    for k, ch in enumerate(code_chars):
-        lo, hi = char_off[ch], char_off[ch + 1]
-        cs, th = c_start[lo:hi], c_thr[lo:hi]
-        ridx = np.searchsorted(cs, allpos, side="right")
-        past = ridx >= len(cs)
-        up = np.where(past, True,
-                      allpos < th[np.minimum(ridx, len(cs) - 1)])
-        upw = up.reshape(-1, 32).astype(np.uint32)
-        packed = (upw << shifts[None, :]).sum(axis=1, dtype=np.uint32)
-        bit_words[:, k * wpc:(k + 1) * wpc] = packed.reshape(nb, wpc)
-    bit_words = bit_words.view(np.int32).astype(np.int64)
+    shifts32 = np.arange(32, dtype=np.uint32)
+    CHUNK_ROWS = max(1, (1 << 24) // P)
+    for r0 in range(0, nb, CHUNK_ROWS):
+        r1 = min(r0 + CHUNK_ROWS, nb)
+        rc = r1 - r0
+        p0, p1 = r0 * P, r1 * P
+        if p1 <= n:
+            bb = bwt_bytes[p0:p1]
+        else:
+            bb = np.concatenate(
+                [bwt_bytes[p0:n], np.zeros(p1 - n, dtype=np.uint8)])
+        bb2 = bb.reshape(rc, P)
 
-    rows = np.concatenate([cp, words, bit_words], axis=1)
-    W = rows.shape[1]
-    assert W == _width(P, pack)
+        # occ checkpoints from TRUE characters (alias-free)
+        for k, ch in enumerate(code_chars):
+            bc = (bb2 == ch).sum(axis=1, dtype=np.int64)
+            csum = np.zeros(rc, dtype=np.int64)
+            np.cumsum(bc[:-1], out=csum[1:])
+            rows[r0:r1, C0 + k] = (occ_run[k] + csum).astype(np.int32)
+            occ_run[k] += int(bc.sum())
+
+        # characters, pack-bit codes, little-endian within each i32 word
+        cc = rmap[bb]
+        if pack == 2 and term_pos >= 0:
+            cc[bb == TERM_BYTE] = term_code                 # alias
+            cc[bb == 0] = pad_code
+        cc2 = cc.reshape(rc, P)
+        words = np.zeros((rc, nwcw), dtype=np.uint32)
+        for j in range(per_word):
+            words += (cc2[:, j::per_word].astype(np.uint32)
+                      & ((1 << pack) - 1)) << (pack * j)
+        rows[r0:r1, W0:W0 + nwcw] = words.view(np.int32)
+
+        # up-bits: bit (k, pos) = pos < threshold of the run containing the
+        # next occurrence of code-char k at/after pos (the `pos < thr`
+        # branch of compute_ms_pml.cpp:270-277). Positions past the last
+        # run get 1 (don't-care: the kernel forces jump-up when has_next is
+        # false).
+        pos = np.arange(p0, p1, dtype=np.int64)
+        for k, ch in enumerate(code_chars):
+            lo, hi = char_off[ch], char_off[ch + 1]
+            cs, th = c_start[lo:hi], c_thr[lo:hi]
+            ridx = np.searchsorted(cs, pos, side="right")
+            past = ridx >= len(cs)
+            up = np.where(past, True,
+                          pos < th[np.minimum(ridx, len(cs) - 1)])
+            packed = (up.reshape(-1, 32).astype(np.uint32)
+                      << shifts32[None, :]).sum(axis=1, dtype=np.uint32)
+            rows[r0:r1, T0 + k * wpc:T0 + (k + 1) * wpc] = (
+                packed.reshape(rc, wpc).view(np.int32))
+
+    from ..utils import device_put_chunked
 
     arrays = BitArrays(
-        bblocks=jnp.asarray(rows.astype(np.int32)),
+        bblocks=device_put_chunked(rows),
         n=jnp.asarray(np.asarray(n, dtype=np.int32)),
         last_run_sample=jnp.asarray(
             np.asarray(idx.last_run_sample, dtype=np.int32)),

@@ -537,7 +537,12 @@ def extend_pointers_diag2(text_words: jnp.ndarray, reads: jnp.ndarray,
     SEG = min(seg_positions, BL)
     while BL % SEG:
         SEG //= 2
-    assert SEG % 128 == 0, SEG  # _compact_indices reshapes to [SEG/128, 128]
+    if SEG % 128:
+        # _compact_indices reshapes to [SEG/128, 128]; buckets whose B*L
+        # has a 2-adic factor below 128 (e.g. odd B at L=64) can't be
+        # segmented — degrade to the v2 kernel instead of failing at trace
+        return extend_pointers_diag(text_words, reads, read_lens, ptrs, nt,
+                                    chunk_lanes=chunk_lanes)
     CH = min(chunk_lanes, SEG)
     nseg = BL // SEG
     ROWS = (SEG + L) // 64 + 3

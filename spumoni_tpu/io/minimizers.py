@@ -31,17 +31,23 @@ fetched at configure time — thirdparty/CMakeLists.txt:60-72):
 
 Deviation note (promotion scheme only): the reference's 8-bit hash is
 rollinghashcpp's CyclicHash — a rotate-xor hash over a per-character table
-generated by a seeded Mersenne Twister inside the library. The hash
-STRUCTURE (cyclic rotate-xor, window-min, invalid handling) is reproduced
-exactly; the 4-entry character table below is this module's fixed choice,
-since the upstream table constants cannot be derived in this offline
-environment. Digested indexes are self-consistent (build and run share this
-module); only the raw promotion byte values differ from a reference binary.
+filled by `CharacterHash(maxval)` from Wagner's MTRand Mersenne Twister.
+The hash STRUCTURE (cyclic rotate-xor, window-min, invalid handling) is
+reproduced exactly, and the character table is now DERIVED per the published
+generation chain (io/mtrand.py: bit-exact MT19937 with Wagner's
+initialize/reload/tempering + randInt(255) masking, indexed by bonsai's
+bns::DNA 2-bit codes). The one quantity not derivable offline is the pinned
+MT seed (upstream's default seeding is process-random, which a working
+build/run pair cannot use); seed 0 is the convention here, and digested
+indexes remain self-consistent (build and run share this module) whatever
+the deployed fork pins. See io/mtrand.py's docstring + PARITY.md.
 """
 
 from __future__ import annotations
 
 import numpy as np
+
+from .mtrand import character_hash_table
 
 _ENC = np.full(256, 0, dtype=np.uint64)
 _ENC_VALID = np.zeros(256, dtype=bool)
@@ -51,9 +57,12 @@ for i, b in enumerate(b"ACGT"):
 
 _DEC = np.frombuffer(b"ACGT", dtype=np.uint8)
 
-# fixed per-base table for the 8-bit cyclic hash (see deviation note)
+# per-base table for the 8-bit cyclic hash, derived via the published
+# CharacterHash(255) + Wagner-MTRand chain (see deviation note). bonsai's
+# bns::DNA mode feeds the hasher 2-bit base codes, so the effective entries
+# are hashvalues[0..3], mapped here onto the ACGT byte positions.
 _CYC_TAB = np.zeros(256, dtype=np.uint8)
-_CYC_TAB[list(b"ACGT")] = [0x3B, 0xC6, 0x79, 0xE5]
+_CYC_TAB[list(b"ACGT")] = character_hash_table(wordsize=8, seed=0)[:4]
 
 _INVALID64 = np.uint64(0xFFFFFFFFFFFFFFFF)   # bonsai's BF sentinel
 _INVALID16 = np.uint16(0xFFFF)               # 8-bit hash sentinel (> any u8)

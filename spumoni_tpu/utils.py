@@ -76,6 +76,33 @@ def jax_trace(trace_dir: str | None):
         jax.profiler.stop_trace()
 
 
+def device_put_chunked(a, max_mb: int = 128):
+    """device_put in <=max_mb row slices + on-device concat.
+
+    A single >1 GB device_put message hangs the axon TPU tunnel for ~30 min
+    (PERF_NOTES.md round 2); h2d was only validated up to ~100 MB messages.
+    Each slice is fenced with a tiny d2h read so at most one transfer is in
+    flight (block_until_ready does not sync through the tunnel)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    a = np.ascontiguousarray(a)
+    row_bytes = max(1, a.nbytes // max(1, a.shape[0]))
+    step = max(1, (max_mb << 20) // row_bytes)
+    if a.shape[0] <= step:
+        out = jax.device_put(jnp.asarray(a))
+        np.asarray(out.reshape(-1)[:1])
+        return out
+    parts = []
+    for i in range(0, a.shape[0], step):
+        parts.append(jax.device_put(np.ascontiguousarray(a[i:i + step])))
+        np.asarray(parts[-1].reshape(-1)[:1])
+    out = jnp.concatenate(parts, axis=0)
+    np.asarray(out.reshape(-1)[:1])
+    return out
+
+
 def device_array_footprint(arrays) -> dict[str, int]:
     """Bytes of every device array in a pytree — the HBM analog of the
     index stats files."""

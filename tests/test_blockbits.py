@@ -25,11 +25,14 @@ def _setup(rng, n):
     return text, dense, native
 
 
-def test_blockbits_pml_matches_native(rng, make_reads):
+@pytest.mark.parametrize("P", [256, 512])
+def test_blockbits_pml_matches_native(rng, make_reads, P):
+    # P=256 is the under-cliff default; P=512 is the over-cliff
+    # genome-scale production row width (pick_P over_cliff branch)
     for trial in range(3):
         text, dense, native = _setup(rng, int(rng.integers(2000, 9000)))
         assert eligible(dense)
-        arrays, meta, host = build_blockbits(dense)
+        arrays, meta, host = build_blockbits(dense, P=P)
         reads = make_reads(rng, text, num=16, max_len=300)
         reads.append(b"N" * 64)        # cnt==0 (absent char) path
         reads.append(text[:130])       # exact prefix crossing a block edge
