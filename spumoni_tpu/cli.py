@@ -112,6 +112,10 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="classify via windowed KS test instead of bin-max")
     r.add_argument("--resume", dest="resume", action="store_true",
                    help="resume from the durable read cursor")
+    r.add_argument("--report-only", dest="report_only", action="store_true",
+                   help="with -c: write only the .report (no value files); "
+                        "classification is fused on device and only O(B) "
+                        "verdict summaries leave the chip")
     return p
 
 

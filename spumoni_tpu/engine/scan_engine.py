@@ -698,6 +698,54 @@ def extend_pointers_kernel(text: jnp.ndarray, reads: jnp.ndarray,
 _downcast_u16 = jax.jit(lambda x: x.astype(jnp.uint16))
 
 
+@functools.partial(jax.jit, static_argnames=("bin_width", "max_bins"))
+def binmax_values_kernel(vals_fwd, lens, max_value_thr, bin_width: int,
+                         max_bins: int):
+    """On-device bin-max classification of a natural-order [B, L] value
+    matrix (compute_ms_pml.cpp:975-995 with the short-tail merge rule):
+    returns per-lane (found, above, below, sum_maxes) — O(B) leaves the
+    device. `max_bins` must be >= ceil(L / bin_width)."""
+    B, L = vals_fwd.shape
+    dt = vals_fwd.dtype
+    lens = lens.astype(dt)
+    p = jnp.arange(L, dtype=dt)
+    nbins = jnp.maximum(lens // bin_width, 1)
+    # the final short remainder merges into the previous window (binmax.py)
+    binid = jnp.minimum(p[None, :] // bin_width, nbins[:, None] - 1)
+    valid = p[None, :] < lens[:, None]
+    neg = jnp.full_like(vals_fwd, -1)
+    above = jnp.zeros((B,), jnp.int32)
+    summ = jnp.zeros((B,), dt)
+    for j in range(max_bins):
+        sel = jnp.where(valid & (binid == j), vals_fwd, neg)
+        mx = jnp.max(sel, axis=1)
+        has = mx >= 0
+        above = above + ((mx >= max_value_thr) & has).astype(jnp.int32)
+        summ = summ + jnp.where(has, mx, 0)
+    below = nbins.astype(jnp.int32) - above
+    found = (above > below) & (lens > 0)
+    return found, above, below, summ
+
+
+@jax.jit
+def _flip_to_forward(vals_rev, lens):
+    """Per-lane reversal of the first lens[i] columns (scan emits values in
+    reversed read order)."""
+    B, L = vals_rev.shape
+    p = jnp.arange(L)
+    idx = jnp.clip(lens[:, None] - 1 - p[None, :], 0, L - 1)
+    return jnp.take_along_axis(vals_rev, idx.astype(jnp.int32), axis=1)
+
+
+@jax.jit
+def _anomalous_mask(ptrs_fwd, lens):
+    """Lanes with any in-read pointer <= 0 (reset / unsigned underflow):
+    they take the sequential-carry extension fallback."""
+    p = jnp.arange(ptrs_fwd.shape[1])
+    in_read = p[None, :] < lens[:, None]
+    return jnp.any(in_read & (ptrs_fwd <= 0), axis=1)
+
+
 class ScanEngine:
     """Host-side wrapper: packs variable-length reads into padded batches,
     runs the lockstep kernels, unpacks per-read outputs.
@@ -901,6 +949,135 @@ class ScanEngine:
                                   for i in range(nreads)]
         if self.use_doc:
             out["docs"] = unrev(np.asarray(docs))
+        return out
+
+    def _classify_group(self, reads, L: int, bin_width: int, thr: int):
+        """Classify-only kernel invocation for one [B, L<=chunk] bucket:
+        PML folds bin-max into the scan carry (fused_classify_kernel); MS
+        scans pointers, extends, and bin-maxes the extended lengths — all on
+        device. Only [B] summaries are transferred."""
+        from ..parallel.mesh import fused_classify_kernel
+
+        B = max(1, 1 << (len(reads) - 1).bit_length())
+        fwd = np.zeros((B, L), dtype=np.uint8)
+        rev = np.zeros((B, L), dtype=np.uint8)
+        lens = np.zeros((B,), dtype=np.int64)
+        for i, rd in enumerate(reads):
+            a = np.frombuffer(bytes(rd), dtype=np.uint8)
+            fwd[i, :len(a)] = a
+            rev[i, :len(a)] = a[::-1]
+            lens[i] = len(a)
+
+        planes = None
+        if self.bits or self.occ:
+            alphabet = tuple(sorted(
+                {0} | set(int(x) for x in np.unique(rev))))
+            planes = self.host.planes_for_alphabet(alphabet)
+            rev = self.host.rank_map(alphabet)[rev]
+        elif self.layered and self.host is not None:
+            alphabet = tuple(sorted(
+                set(self.host.index_chars)
+                | set(int(x) for x in np.unique(rev)) | {0}))
+            rev = self.host.rank_map(alphabet)[rev]
+            planes = self.host.planes_for_alphabet(alphabet)
+        lens_d = jnp.asarray(lens)
+
+        if self.mode == "pml":
+            found, above, below, summ = fused_classify_kernel(
+                self.arrays, jnp.asarray(rev), lens_d, thr, self.meta,
+                "pml", self.r, bin_width, planes)
+            return (np.asarray(found), np.asarray(above),
+                    np.asarray(below), np.asarray(summ))
+
+        # MS: pointer scan -> on-device extension -> on-device bin-max
+        if self.arrays.text is None:
+            raise ValueError("MS classification requires an index with text")
+        if self.occ:
+            ptrs_rev = query_batch_kernel_v3(
+                self.arrays, jnp.asarray(rev), self.meta, "ms", False,
+                planes)[0]
+        elif self.layered:
+            ptrs_rev = query_batch_kernel_v2(
+                self.arrays, jnp.asarray(rev), self.meta, "ms", False,
+                planes)[0]
+        else:
+            ptrs_rev = query_batch_kernel(
+                self.arrays, jnp.asarray(rev), self.meta, "ms", False,
+                self.r)[0]
+        dt = ptrs_rev.dtype
+        lens_dt = lens_d.astype(dt)
+        ptrs_fwd_d = _flip_to_forward(ptrs_rev, lens_dt)
+        if self._text_words is None:
+            self._text_words = build_text_words(self.arrays.text, self.nt)
+            self._text_wide = build_text_wide(self.arrays.text, self.nt)
+        lens_mat = extend_pointers_diag(
+            self._text_words, jnp.asarray(fwd), lens_dt, ptrs_fwd_d, self.nt,
+            text_wide=self._text_wide)
+        max_bins = max(1, -(-L // bin_width))
+        found, above, below, summ = binmax_values_kernel(
+            lens_mat, lens_dt, thr, bin_width, max_bins)
+        # np.array (copy): device-array views are read-only, and the
+        # anomalous lanes below are overwritten in place
+        found, above, below, summ = (np.array(found), np.array(above),
+                                     np.array(below), np.array(summ))
+
+        anom = np.nonzero(np.asarray(_anomalous_mask(ptrs_fwd_d, lens_dt))
+                          [:len(reads)])[0]
+        if len(anom):
+            # reference quirk path (see _query_group): re-extend those lanes
+            # with the exact sequential-carry kernel, re-classify on device
+            sel = jnp.asarray(anom.astype(np.int32))
+            sub_ptrs = jnp.take(ptrs_fwd_d, sel, axis=0)
+            sub_fwd = jnp.asarray(fwd[anom])
+            sub_lens = jnp.take(lens_dt, sel)
+            sub_mat = extend_pointers_kernel(
+                self.arrays.text, sub_fwd, sub_lens, sub_ptrs, self.nt)
+            f2, a2, b2, s2 = binmax_values_kernel(
+                sub_mat, sub_lens, thr, bin_width, max_bins)
+            found[anom] = np.asarray(f2)
+            above[anom] = np.asarray(a2)
+            below[anom] = np.asarray(b2)
+            summ[anom] = np.asarray(s2)
+        return found, above, below, summ
+
+    def classify(self, reads, bin_width: int, max_value_thr: int,
+                 max_lanes: int = 8192):
+        """Fused report-only classification (the -c path of
+        compute_ms_pml.cpp:845-1034 without value-file output): bin-max
+        verdicts are computed on device and only O(B) summaries cross the
+        host link. Long-read buckets (L > chunk) fall back to the value
+        path + host classification (bin windows span chunk boundaries)."""
+        from ..classify import binmax
+
+        n = len(reads)
+        out = {"found": np.zeros(n, dtype=bool),
+               "above": np.zeros(n, dtype=np.int64),
+               "below": np.zeros(n, dtype=np.int64),
+               "sum_maxes": np.zeros(n, dtype=np.int64)}
+        groups: dict[int, list[int]] = {}
+        for i, rd in enumerate(reads):
+            groups.setdefault(self._bucket_L(max(1, len(rd))), []).append(i)
+        for L, idxs in sorted(groups.items()):
+            for c0 in range(0, len(idxs), max_lanes):
+                chunk = idxs[c0:c0 + max_lanes]
+                sub = [reads[i] for i in chunk]
+                if L > self.chunk:
+                    res = self._query_group(sub, L)
+                    for j, i in enumerate(chunk):
+                        r_ = binmax.classify(res["lengths"][j], bin_width,
+                                             max_value_thr)
+                        out["found"][i] = r_.status == "FOUND"
+                        out["above"][i] = r_.bins_above
+                        out["below"][i] = r_.bins_below
+                        out["sum_maxes"][i] = int(r_.bin_maxes.sum())
+                    continue
+                f, a, b, s = self._classify_group(sub, L, bin_width,
+                                                  max_value_thr)
+                for j, i in enumerate(chunk):
+                    out["found"][i] = f[j]
+                    out["above"][i] = a[j]
+                    out["below"][i] = b[j]
+                    out["sum_maxes"][i] = s[j]
         return out
 
     def query(self, reads, max_lanes: int = 8192):

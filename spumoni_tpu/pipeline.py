@@ -386,6 +386,10 @@ class RunConfig:
     ks_report: bool = False   # classify via windowed KS test instead of
                               # bin-max (the reference's build-time-live path,
                               # ks_test.cpp + compute_ms_pml.cpp:942-967)
+    report_only: bool = False  # -c without value files: classification is
+                              # fused on device and only O(B) verdict
+                              # summaries cross the host link (extension
+                              # flag; the reference always writes values)
     engine: str = "auto"      # 'auto' | 'layered' (v2) | 'occ' (v3) |
                               # 'bits' (v4, PML-only 1-slim-gather/step).
                               # auto: v4 when eligible for PML without doc
@@ -420,6 +424,12 @@ class RunConfig:
             raise ValueError("classification is not available for general text")
         if not MIN_BIN_SIZE <= self.bin_size <= MAX_BIN_SIZE:
             raise ValueError(f"bin size must be in [{MIN_BIN_SIZE},{MAX_BIN_SIZE}]")
+        if self.report_only:
+            if not self.write_report:
+                raise ValueError("--report-only requires -c")
+            if self.ks_report:
+                raise ValueError("--report-only is bin-max only (the KS "
+                                 "statistic needs the full value vectors)")
 
 
 def _make_engine(cfg: RunConfig, dense: DenseIndex):
@@ -454,6 +464,21 @@ def _make_engine(cfg: RunConfig, dense: DenseIndex):
                     if cfg.use_doc:
                         out["docs"] = res[2]
                 return out
+
+            def classify(self, reads, bin_width, max_value_thr):
+                vals = self.query(reads)["lengths"]
+                n = len(reads)
+                out = {"found": np.zeros(n, dtype=bool),
+                       "above": np.zeros(n, dtype=np.int64),
+                       "below": np.zeros(n, dtype=np.int64),
+                       "sum_maxes": np.zeros(n, dtype=np.int64)}
+                for i in range(n):
+                    r_ = binmax.classify(vals[i], bin_width, max_value_thr)
+                    out["found"][i] = r_.status == "FOUND"
+                    out["above"][i] = r_.bins_above
+                    out["below"][i] = r_.bins_below
+                    out["sum_maxes"][i] = int(r_.bin_maxes.sum())
+                return out
         return _CpuWrapper()
 
     from .engine.scan_engine import ScanEngine
@@ -475,6 +500,37 @@ def _make_engine(cfg: RunConfig, dense: DenseIndex):
         from .engine.layered import build_layered
         arrays, meta, host = build_layered(dense)
     return ScanEngine(arrays, meta, mode=cfg.mode, use_doc=cfg.use_doc, host=host)
+
+
+class _ShardedEngine:
+    """One process drives ALL local devices: pipeline adapter around
+    ShardedPmlClassifier (reads sharded over the 'data' mesh axis, index
+    replicated — the certified mesh path becomes the production path).
+    PML without doc tracking; long-read buckets (beyond the chunked-state
+    kernel width) fall back to the single-device engine."""
+
+    def __init__(self, inner, bin_width: int, max_value_thr: int):
+        from .parallel.mesh import ShardedPmlClassifier, make_data_mesh
+
+        self.inner = inner
+        self.arrays = inner.arrays  # for HBM footprint logging
+        self.spc = ShardedPmlClassifier(
+            inner.arrays, inner.meta, make_data_mesh(), bin_width,
+            max_value_thr, host=inner.host)
+
+    def _long(self, reads) -> bool:
+        return max((len(r) for r in reads), default=1) > self.inner.chunk
+
+    def query(self, reads):
+        if self._long(reads):
+            return self.inner.query(reads)
+        res = self.spc.classify(reads, want_values=True)
+        return {"lengths": res["lengths"]}
+
+    def classify(self, reads, bin_width, max_value_thr):
+        if self._long(reads):
+            return self.inner.classify(reads, bin_width, max_value_thr)
+        return self.spc.classify(reads, want_values=False)
 
 
 def _blockbits_eligible(dense: DenseIndex) -> bool:
@@ -558,18 +614,26 @@ def run(cfg: RunConfig) -> int:
                                      cfg.use_promotions, cfg.use_dna_letters,
                                      cfg.mode)
 
+    if cfg.device != "cpu" and cfg.mode == "pml" and not cfg.use_doc:
+        import jax
+        if len(jax.devices()) > 1:
+            engine = _ShardedEngine(engine, cfg.bin_size, thr)
+            log("run", f"data-parallel over {len(jax.devices())} local "
+                       f"devices (reads sharded, index replicated)")
+
     from .parallel import distributed as dist
 
     out_prefix = cfg.pattern_file
     P, p = cfg.process_count, cfg.process_index
     paths = {}
-    if cfg.mode == "pml":
-        paths["lengths"] = out_prefix + ".pseudo_lengths"
-    else:
-        paths["lengths"] = out_prefix + ".lengths"
-        paths["pointers"] = out_prefix + ".pointers"
-    if cfg.use_doc:
-        paths["docs"] = out_prefix + ".doc_numbers"
+    if not cfg.report_only:
+        if cfg.mode == "pml":
+            paths["lengths"] = out_prefix + ".pseudo_lengths"
+        else:
+            paths["lengths"] = out_prefix + ".lengths"
+            paths["pointers"] = out_prefix + ".pointers"
+        if cfg.use_doc:
+            paths["docs"] = out_prefix + ".doc_numbers"
     if cfg.write_report:
         paths["report"] = out_prefix + ".report"
 
@@ -665,6 +729,20 @@ def run(cfg: RunConfig) -> int:
     wq: "queue.Queue" = queue.Queue(maxsize=2)
 
     def _write_batch(ids, out):
+        if cfg.report_only:
+            # fused path: out carries O(B) verdict summaries only
+            for i, rid in enumerate(ids):
+                nbins = int(out["above"][i] + out["below"][i])
+                status = "FOUND" if out["found"][i] else "NOT_PRESENT"
+                wstate["found"] += bool(out["found"][i])
+                files["report"].write(report_line(
+                    rid, status, out["sum_maxes"][i] / max(nbins, 1),
+                    int(out["above"][i]), int(out["below"][i])))
+                wstate["num"] += 1
+            files["report"].flush()
+            with open(cursor_path, "w") as f:
+                f.write(str(wstate["num"]))
+            return
         for i, rid in enumerate(ids):
             if cfg.use_doc:
                 write_values_record(files["docs"], rid, out["docs"][i])
@@ -709,7 +787,10 @@ def run(cfg: RunConfig) -> int:
     for ids, reads, bases in _prefetched(
             (prepare(b) for b in batch_iter(my_records(), cfg.batch_bases))):
         total_bases += bases
-        out = engine.query(reads)
+        if cfg.report_only:
+            out = engine.classify(reads, cfg.bin_size, thr)
+        else:
+            out = engine.query(reads)
         if wstate["err"] is not None:
             break
         wq.put((ids, out))

@@ -210,3 +210,29 @@ def test_extension_diag2_compaction_matches_v2(rng, make_reads):
             assert np.array_equal(v3[j, :rl[j]], v2[j, :rl[j]]), (seg, ch, j)
             assert np.array_equal(v3[j, :rl[j]], oracle[j, :rl[j]]), \
                 (seg, ch, j)
+
+
+def test_classify_only_matches_host_binmax(rng, make_reads):
+    """ScanEngine.classify (fused on-device bin-max, O(B) summaries) must
+    agree with host binmax.classify on query values — both modes, including
+    the anomalous-pointer MS fallback lane (read with N)."""
+    from spumoni_tpu.classify import binmax
+    from spumoni_tpu.engine.layered import build_layered
+
+    text = rand_dna(rng, 6000)
+    tarr = np.frombuffer(text, np.uint8)
+    raw = build_raw_index(tarr)
+    dense = build_dense_index(raw, text=tarr, with_samples=True)
+    reads = make_reads(rng, text, num=10, max_len=500)
+    reads.append(b"N" * 40 + text[100:400])   # anomalous MS pointers
+    arrays, meta, host = build_layered(dense)
+    for mode in ("pml", "ms"):
+        eng = ScanEngine(arrays, meta, mode=mode, host=host)
+        st = eng.classify(reads, 150, 5)
+        vals = eng.query(reads)["lengths"]
+        for i, v in enumerate(vals):
+            r_ = binmax.classify(v, 150, 5)
+            assert st["found"][i] == (r_.status == "FOUND"), (mode, i)
+            assert st["above"][i] == r_.bins_above, (mode, i)
+            assert st["below"][i] == r_.bins_below, (mode, i)
+            assert st["sum_maxes"][i] == int(r_.bin_maxes.sum()), (mode, i)

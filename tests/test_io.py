@@ -156,3 +156,17 @@ def test_utils_phase_and_footprint(capsys):
 
     fp = utils.device_array_footprint({"x": jnp.zeros(100, jnp.int32)})
     assert fp["__total__"] == 400
+
+
+def test_mtrand_canonical_vectors():
+    """Wagner MTRand == canonical MT19937 (init_genrand + tempering)."""
+    from spumoni_tpu.io.mtrand import MTRand, character_hash_table
+
+    m = MTRand(5489)
+    assert [m.rand_int32() for _ in range(6)] == [
+        3499211612, 581869302, 3890346734, 3586334585, 545404204, 4161255391]
+    # CharacterHash(255): randInt(255) accepts every masked draw, so the
+    # table is the first 256 tempered outputs & 0xFF
+    t = character_hash_table(wordsize=8, seed=5489)
+    assert t[0] == 3499211612 % 256 and t[1] == 581869302 % 256
+    assert t.dtype.itemsize == 1 and len(t) == 256

@@ -246,3 +246,44 @@ def test_ks_report_mode(workdir):
     assert all(rows[r] == "FOUND" for r in rows if r.startswith("pos")), rows
     assert all(rows[r] == "NOT_PRESENT" for r in rows
                if r.startswith("neg")), rows
+
+
+def test_report_only_fused_matches_full_run(workdir):
+    """--report-only (fused on-device classification, O(B) summaries) must
+    produce a byte-identical .report to the full value-writing run, for both
+    PML and MS, through the multi-device production path (8 virtual
+    devices -> _ShardedEngine for PML)."""
+    tmp, genome_path, reads_path = workdir
+    build(BuildConfig(ref_file=genome_path, output_prefix=str(tmp / "idx"),
+                      pml_index=True, ms_index=True, use_minimizers=False))
+    for mode_kw, val_ext in ((dict(pml_requested=True), ".pseudo_lengths"),
+                             (dict(ms_requested=True), ".lengths")):
+        base = dict(ref_file=str(tmp / "idx"), pattern_file=reads_path,
+                    min_digest=False, write_report=True, **mode_kw)
+        # report-only first: no value files may be produced
+        for p in (reads_path + val_ext, reads_path + ".pointers"):
+            if os.path.exists(p):
+                os.remove(p)
+        n = run(RunConfig(report_only=True, **base))
+        assert n == 12
+        assert not os.path.exists(reads_path + val_ext)
+        with open(reads_path + ".report", "rb") as f:
+            fused_report = f.read()
+        n = run(RunConfig(**base))
+        assert n == 12
+        assert os.path.exists(reads_path + val_ext)
+        with open(reads_path + ".report", "rb") as f:
+            full_report = f.read()
+        assert fused_report == full_report, mode_kw
+
+
+def test_report_only_validation(tmp_path):
+    pat = str(tmp_path / "p.fa")
+    open(pat, "w").write(">r\nACGT\n")
+    with pytest.raises(ValueError):  # --report-only requires -c
+        RunConfig(ref_file="x", pattern_file=pat, pml_requested=True,
+                  min_digest=False, report_only=True).validate()
+    with pytest.raises(ValueError):  # KS needs the full value vectors
+        RunConfig(ref_file="x", pattern_file=pat, pml_requested=True,
+                  min_digest=False, write_report=True, ks_report=True,
+                  report_only=True).validate()
