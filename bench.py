@@ -394,23 +394,25 @@ print(len(reads) / dt / threads)
     return per_thread * BASELINE_THREADS
 
 
+def _scale_line():
+    tpu = bench_tpu_scale()
+    cpu32 = bench_cpu_scale()
+    return {
+        "metric": "pml_classify_reads_per_s_chip_human_scale",
+        "value": round(tpu, 2),
+        "unit": "reads/s (1024bp, 2.1Gbp r=1.9e8 index)",
+        "vs_baseline": round(tpu / cpu32, 3),
+    }
+
+
 def main():
     cfg = os.environ.get("SPUMONI_BENCH_CONFIG")
     if cfg == "scale":
-        # headline config: BASELINE.md's ">=5x ... on a human-genome PML
-        # index". Falls back to the 5 Mbp config when the prebuilt cache is
-        # absent (scripts/build_scale.py creates it; ~60 min on 2 cores).
-        tpu = bench_tpu_scale()
-        cpu32 = bench_cpu_scale()
-        print(json.dumps({
-            "metric": "pml_classify_reads_per_s_chip_human_scale",
-            "value": round(tpu, 2),
-            "unit": "reads/s (1024bp, 2.1Gbp r=1.9e8 index)",
-            "vs_baseline": round(tpu / cpu32, 3),
-        }))
+        # BASELINE.md's ">=5x ... on a human-genome PML index" config alone
+        print(json.dumps(_scale_line()))
         return
-    raw, text, rng = get_index()
-    if os.environ.get("SPUMONI_BENCH_CONFIG") == "e2e":
+    if cfg == "e2e":
+        raw, text, rng = get_index()
         tpu = bench_e2e(raw, text, rng)
         cpu32 = bench_cpu(raw, text, rng)  # device-resident CPU rate: the
         # honest comparison is the same full pipeline; the reference's own
@@ -422,8 +424,9 @@ def main():
             "vs_baseline": round(tpu / cpu32, 3),
         }))
         return
-    if os.environ.get("SPUMONI_BENCH_CONFIG") == "ms":
+    if cfg == "ms":
         # BASELINE config 2: full MS (-M) — pointers + extended lengths
+        raw, text, rng = get_index()
         tpu = bench_tpu_ms(raw, text, rng)
         cpu32 = bench_cpu_ms(raw, text, rng)
         print(json.dumps({
@@ -433,14 +436,25 @@ def main():
             "vs_baseline": round(tpu / cpu32, 3),
         }))
         return
+    # default: the human-scale config is the headline whenever its prebuilt
+    # cache exists (scripts/build_scale.py; BASELINE.md pins the >=5x target
+    # to a human-genome index). The 5 Mbp config is always measured too and
+    # reported on stderr so regressions in the small config stay visible;
+    # stdout carries exactly ONE JSON line (the headline) for the driver.
+    raw, text, rng = get_index()
     tpu_reads_s, tpu_bases_s = bench_tpu(raw, text, rng)
     cpu32_reads_s = bench_cpu(raw, text, rng)
-    print(json.dumps({
+    small = {
         "metric": "pml_classify_reads_per_s_chip",
         "value": round(tpu_reads_s, 2),
         "unit": "reads/s (1024bp)",
         "vs_baseline": round(tpu_reads_s / cpu32_reads_s, 3),
-    }))
+    }
+    if _scale_ready():
+        print(json.dumps(small), file=sys.stderr, flush=True)
+        print(json.dumps(_scale_line()))
+    else:
+        print(json.dumps(small))
 
 
 if __name__ == "__main__":

@@ -94,6 +94,13 @@ class BitMeta(NamedTuple):
     has_samples: bool = False
     has_doc: bool = False
     has_text: bool = False
+    # wide mode: n >= 2^31 (GRCh38 + revcomp needs ~6.2e9 positions). Lane
+    # positions are int64; rows stay int32 with each occ checkpoint split
+    # into a low u32 word (the C0 slots) plus one packed byte of high bits
+    # (the H0 words) — n < 2^40, matching the reference's SSABYTES=5
+    # (include/spumoni_main.hpp:60). In-row SWAR rank/char work remains
+    # int32; only checkpoint arithmetic widens.
+    wide: bool = False
 
 
 def _pack_of(idx) -> Optional[int]:
@@ -107,7 +114,8 @@ def _pack_of(idx) -> Optional[int]:
     return None
 
 
-def pick_P(n: int, pack: int, over_cliff: bool = False) -> Optional[int]:
+def pick_P(n: int, pack: int, over_cliff: bool = False,
+           wide: bool = False) -> Optional[int]:
     # fewer rows measures faster on v5e until row width passes ~256 B
     # (P=256 pack=2: 240k reads/s vs P=512's 229k on the 5 Mbp bench);
     # prefer the largest P at <=256 B, falling back to <=512 B rows
@@ -116,7 +124,7 @@ def pick_P(n: int, pack: int, over_cliff: bool = False) -> Optional[int]:
         for P in (64, 128, 256, 512):
             if -(-n // P) > ROW_CLIFF:
                 continue
-            if _width(P, pack) * 4 > cap:
+            if _width(P, pack, wide) * 4 > cap:
                 continue
             best = P
         if best is not None:
@@ -129,15 +137,17 @@ def pick_P(n: int, pack: int, over_cliff: bool = False) -> Optional[int]:
         # row still fits the 512 B cap the under-cliff selector honors
         # (512 for pack=2 = 400 B rows; 128 for pack=4 = 288 B rows).
         for P in (512, 256, 128, 64):
-            if _width(P, pack) * 4 <= 512:
+            if _width(P, pack, wide) * 4 <= 512:
                 return P
     return best
 
 
-def _width(P: int, pack: int) -> int:
+def _width(P: int, pack: int, wide: bool = False) -> int:
+    nslots = MAX_SIGMA2 if pack == 2 else MAX_SIGMA4
+    nhw = -(-nslots // 4) if wide else 0   # packed checkpoint-high bytes
     if pack == 2:
-        return MAX_SIGMA2 + P // 16 + MAX_SIGMA2 * (P // 32)
-    return MAX_SIGMA4 + P // 8 + MAX_SIGMA4 * (P // 32)
+        return nslots + P // 16 + nslots * (P // 32) + nhw
+    return nslots + P // 8 + nslots * (P // 32) + nhw
 
 
 def eligible(idx) -> bool:
@@ -148,20 +158,30 @@ def eligible(idx) -> bool:
 
 def eligible_any(idx) -> bool:
     """Over-cliff included: one ~13.6 ns gather per step still beats engine
-    v2's multi-probe step at human-genome scale (PERF_NOTES.md round 2)."""
+    v2's multi-probe step at human-genome scale (PERF_NOTES.md round 2).
+    Past 2^31 positions the wide layout (split-checkpoint rows, int64
+    lanes) extends coverage to n < 2^40 — the reference's own SSABYTES=5
+    addressing limit (include/spumoni_main.hpp:60)."""
     pack = _pack_of(idx)
-    return pack is not None and int(idx.n) < 2**31
+    return pack is not None and int(idx.n) < 2**40
 
 
-def build_blockbits(idx, P: Optional[int] = None, pack: Optional[int] = None):
-    """DenseIndex -> (BitArrays on device, BitMeta, OccHost)."""
+def build_blockbits(idx, P: Optional[int] = None, pack: Optional[int] = None,
+                    wide: Optional[bool] = None):
+    """DenseIndex -> (BitArrays on device, BitMeta, OccHost).
+
+    wide=True (auto past 2^31 positions) switches to the split-checkpoint
+    row layout + int64 lane positions; rows stay int32 either way."""
     n = int(idx.n)
-    assert n < 2**31, "block-bits engine is int32-only (use engine v2)"
+    if wide is None:
+        wide = n >= 2**31
+    assert wide or n < 2**31
+    assert n < 2**40, "block-bits positions are 40-bit (SSABYTES=5 parity)"
     if pack is None:
         pack = _pack_of(idx)
         assert pack is not None, "alphabet too large for block-bits"
     if P is None:
-        P = pick_P(n, pack, over_cliff=True)
+        P = pick_P(n, pack, over_cliff=True, wide=wide)
         assert P is not None, "n too large for block-bits (use engine v2)"
     assert P % 32 == 0 and P & (P - 1) == 0
 
@@ -216,8 +236,9 @@ def build_blockbits(idx, P: Optional[int] = None, pack: Optional[int] = None):
     per_word = 32 // pack
     nwcw = P // per_word
     wpc = P // 32
-    W = _width(P, pack)
+    W = _width(P, pack, wide)
     C0, W0, T0 = 0, nslots, nslots + nwcw
+    H0 = T0 + nslots * wpc                 # wide: packed checkpoint-high bytes
     rows = np.zeros((nb, W), dtype=np.int32)
     # occ checkpoints carried in F-space: cp[b][k] = F[char_k] + occ(char_k,
     # b*P), accumulated across chunks
@@ -243,7 +264,15 @@ def build_blockbits(idx, P: Optional[int] = None, pack: Optional[int] = None):
             bc = (bb2 == ch).sum(axis=1, dtype=np.int64)
             csum = np.zeros(rc, dtype=np.int64)
             np.cumsum(bc[:-1], out=csum[1:])
-            rows[r0:r1, C0 + k] = (occ_run[k] + csum).astype(np.int32)
+            cp = occ_run[k] + csum
+            if wide:
+                rows[r0:r1, C0 + k] = (
+                    cp & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+                rows[r0:r1, H0 + (k >> 2)] |= (
+                    (cp >> 32).astype(np.uint32) << ((k & 3) * 8)
+                ).view(np.int32)
+            else:
+                rows[r0:r1, C0 + k] = cp.astype(np.int32)
             occ_run[k] += int(bc.sum())
 
         # characters, pack-bit codes, little-endian within each i32 word
@@ -278,16 +307,19 @@ def build_blockbits(idx, P: Optional[int] = None, pack: Optional[int] = None):
 
     from ..utils import device_put_chunked
 
+    pdt = np.int64 if wide else np.int32
     arrays = BitArrays(
         bblocks=device_put_chunked(rows),
-        n=jnp.asarray(np.asarray(n, dtype=np.int32)),
+        n=jnp.asarray(np.asarray(n, dtype=pdt)),
         last_run_sample=jnp.asarray(
-            np.asarray(idx.last_run_sample, dtype=np.int32)),
-        last_run_edoc=jnp.asarray(np.asarray(idx.last_run_edoc, np.int32)),
-        first_run_sdoc=jnp.asarray(np.asarray(idx.first_run_sdoc, np.int32)),
+            np.asarray(idx.last_run_sample, dtype=pdt)),
+        last_run_edoc=jnp.asarray(np.asarray(idx.last_run_edoc, pdt)),
+        first_run_sdoc=jnp.asarray(np.asarray(idx.first_run_sdoc, pdt)),
     )
-    meta = BitMeta(P=P, width=W, sigma=sigma, pack=pack, dtype="int32",
-                   term_pos=term_pos, term_code=term_code, F_term=F_term)
+    meta = BitMeta(P=P, width=W, sigma=sigma, pack=pack,
+                   dtype="int64" if wide else "int32",
+                   term_pos=term_pos, term_code=term_code, F_term=F_term,
+                   wide=wide)
     # F/Fnext tables indexed by QUERY-RANK CODE (OccHost.planes_for_alphabet
     # indexes Fnext_sigma[rmap[byte]]); slot TERM_CODE serves the terminator
     f_by_code = np.zeros(16, dtype=np.int64)
@@ -309,39 +341,43 @@ def make_blockbits_step_fn(meta: BitMeta, mode: str, use_doc: bool):
     compatibility with the other engines; sample/doc pass through. chars
     must be QUERY-rank mapped; `planes` are OccHost.planes_for_alphabet."""
     assert mode == "pml" and not use_doc, "block-bits engine is PML-only"
-    P, pack = meta.P, meta.pack
+    P, pack, wide = meta.P, meta.pack, meta.wide
     logP = int(math.log2(P))
     nslots = MAX_SIGMA2 if pack == 2 else MAX_SIGMA4
     per_word = 32 // pack
     logW = int(math.log2(per_word))
     nwcw = P // per_word
     wpc = P // 32
+    nhw = -(-nslots // 4) if wide else 0
     C0, W0, T0 = 0, nslots, nslots + nwcw
+    H0 = T0 + nslots * wpc
     # SWAR constants: per-code-group LSB mask for this packing
     lsb = int(sum(1 << (pack * j) for j in range(per_word)))  # 0x111../0x555..
 
     def step(ix: BitArrays, carry, qc, planes):
         pos, length, sample, doc = carry
-        dt = pos.dtype
+        dt = pos.dtype                     # int32, or int64 in wide mode
+        i32 = jnp.int32                    # in-row work always stays 32-bit
         B = pos.shape[0]
 
-        # per-char constants via one-hot MXU matmul on 8-bit planes
+        # per-char constants via one-hot MXU matmul on 8-bit planes (5 planes
+        # cover the 40-bit F/Fnext values of wide mode; acc is dt-wide)
         sq = planes[0].shape[0]
-        onehot = (qc.astype(dt)[:, None] == jnp.arange(sq, dtype=dt)[None, :]
-                  ).astype(jnp.float32)
+        onehot = (qc.astype(i32)[:, None] ==
+                  jnp.arange(sq, dtype=i32)[None, :]).astype(jnp.float32)
         acc = jnp.zeros((B, planes[0].shape[1]), dtype=dt)
         for p, plane in enumerate(planes):
             part = jnp.dot(onehot, plane, preferred_element_type=jnp.float32)
             acc = acc + (part.astype(dt) << (8 * p))
         c_blk, empty_i, Fb, Fnext = acc[:, 0], acc[:, 1], acc[:, 2], acc[:, 3]
         empty = empty_i == 1
-        rk = jnp.clip(c_blk, 0, nslots - 1)
+        rk = jnp.clip(c_blk, 0, nslots - 1).astype(i32)
 
         # THE gather
         nb = ix.bblocks.shape[0]
-        blk = pos >> logP
+        blk = (pos >> logP).astype(i32)    # nb < 2^31 even in wide mode
         row = ix.bblocks[jnp.clip(blk, 0, nb - 1)]              # [B, W]
-        off = pos & (P - 1)
+        off = (pos & (P - 1)).astype(i32)
 
         # SWAR rank over packed char words: group == code  <=>  all bits of
         # (word ^ code*lsb) in the group are zero
@@ -353,27 +389,38 @@ def make_blockbits_step_fn(meta: BitMeta, mode: str, use_doc: bool):
         m = ~z & lsb                                            # match mask
         # position cutoff folded into the popcount mask
         wsel = off >> logW
-        widx = jnp.arange(nwcw, dtype=dt)[None, :]
+        widx = jnp.arange(nwcw, dtype=i32)[None, :]
         lowmask = (1 << ((off & (per_word - 1)) * pack)) - 1
         mm = jnp.where(widx < wsel[:, None], m,
              jnp.where(widx == wsel[:, None], m & lowmask[:, None], 0))
-        inblock = jnp.sum(jax.lax.population_count(mm), axis=1).astype(dt)
+        inblock = jnp.sum(jax.lax.population_count(mm), axis=1).astype(i32)
         # char at pos: select the word, shift the group out
         selw = (widx == wsel[:, None])
-        w_at = jnp.sum(jnp.where(selw, words, 0), axis=1).astype(dt)
+        w_at = jnp.sum(jnp.where(selw, words, 0), axis=1).astype(i32)
         nib = (w_at >> ((off & (per_word - 1)) * pack)) & ((1 << pack) - 1)
         at_pos = nib == rk
 
-        # occ checkpoint select
-        sel8 = (jnp.arange(nslots, dtype=dt)[None, :] == rk[:, None])
-        cp_sel = jnp.sum(jnp.where(sel8, row[:, C0:C0 + nslots], 0),
-                         axis=1).astype(dt)
+        # occ checkpoint select; wide mode reassembles the 40-bit value from
+        # the u32 low word + its packed high byte
+        sel8 = (jnp.arange(nslots, dtype=i32)[None, :] == rk[:, None])
+        cp_lo = jnp.sum(jnp.where(sel8, row[:, C0:C0 + nslots], 0),
+                        axis=1).astype(i32)
+        if wide:
+            selh = (jnp.arange(nhw, dtype=i32)[None, :] ==
+                    (rk >> 2)[:, None])
+            hw = jnp.sum(jnp.where(selh, row[:, H0:H0 + nhw], 0),
+                         axis=1).astype(i32)
+            cp_hi = (hw >> ((rk & 3) * 8)) & 0xFF
+            cp_sel = ((cp_hi.astype(dt) << 32)
+                      | (cp_lo.astype(dt) & 0xFFFFFFFF))
+        else:
+            cp_sel = cp_lo
 
         # up/down bit for char c at offset `off`
         bidx = rk * wpc + (off >> 5)
-        selb = (jnp.arange(nslots * wpc, dtype=dt)[None, :] == bidx[:, None])
+        selb = (jnp.arange(nslots * wpc, dtype=i32)[None, :] == bidx[:, None])
         word = jnp.sum(jnp.where(selb, row[:, T0:T0 + nslots * wpc], 0),
-                       axis=1).astype(dt)
+                       axis=1).astype(i32)
         up_bit = (word >> (off & 31)) & 1
 
         if pack == 2 and meta.term_pos >= 0:
@@ -381,17 +428,17 @@ def make_blockbits_step_fn(meta: BitMeta, mode: str, use_doc: bool):
             tb, to = meta.term_pos >> logP, meta.term_pos & (P - 1)
             at_term_blk = blk == tb
             inblock = inblock - (at_term_blk & (rk == meta.term_code)
-                                 & (to < off)).astype(dt)
+                                 & (to < off)).astype(i32)
             at_pos = at_pos & ~(at_term_blk & (off == to))
             # terminator QUERIES: single run, threshold 0 (first-run rule)
             is_tq = c_blk == TERM_CODE
-            inblock = jnp.where(is_tq, (pos > meta.term_pos).astype(dt),
+            inblock = jnp.where(is_tq, (pos > meta.term_pos).astype(i32),
                                 inblock)
             at_pos = jnp.where(is_tq, pos == meta.term_pos, at_pos)
-            cp_sel = jnp.where(is_tq, meta.F_term, cp_sel)
+            cp_sel = jnp.where(is_tq, jnp.asarray(meta.F_term, dt), cp_sel)
             up_bit = jnp.where(is_tq, 0, up_bit)
 
-        A = cp_sel + inblock                                    # F[c] + rank
+        A = cp_sel + inblock.astype(dt)                         # F[c] + rank
         is_match = ~empty & at_pos
         has_next = A < Fnext
         jump_up = ~empty & ~is_match & (~has_next | (up_bit == 1))

@@ -101,7 +101,7 @@ def initial_state(ix, B: int):
     """Recurrence seed: empty pattern at the last BWT row
     (compute_ms_pml.cpp:243-244,574-575)."""
     dt = (ix.fields if hasattr(ix, "fields")
-          else ix.bblocks if hasattr(ix, "bblocks")
+          else ix.n if hasattr(ix, "bblocks")   # wide v4: int64 pos, i32 rows
           else ix.c_start).dtype
     return (jnp.full((B,), ix.n - 1, dtype=dt),
             jnp.zeros((B,), dtype=dt),

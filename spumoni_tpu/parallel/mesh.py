@@ -54,7 +54,7 @@ def _step_fn_for(arrays, meta, mode, use_doc, r):
 
 def _dtype_of(ix):
     if hasattr(ix, "bblocks"):
-        return ix.bblocks.dtype
+        return ix.n.dtype      # wide v4: int64 positions over int32 rows
     if hasattr(ix, "blocks"):
         return ix.blocks.dtype
     return (ix.fields if hasattr(ix, "fields") else ix.c_start).dtype

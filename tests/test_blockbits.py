@@ -162,9 +162,10 @@ def test_pick_P_over_cliff_selection():
     assert pick_P(huge, 2, over_cliff=True) == 512
 
 
-def test_eligible_any_int32_bound(rng):
+def test_eligible_any_position_bound(rng):
     """eligible() stays the under-cliff fast-zone predicate; eligible_any()
-    admits over-cliff sizes but never positions past int32."""
+    admits over-cliff sizes and (via the wide layout) positions up to the
+    40-bit SSABYTES=5 addressing limit, but no further."""
     from spumoni_tpu.engine.blockbits import eligible_any
 
     _, dense, _ = _setup(rng, 3000)
@@ -178,4 +179,62 @@ def test_eligible_any_int32_bound(rng):
     over_cliff = FakeN(dense, 2_100_000_001)
     assert not eligible(over_cliff) and eligible_any(over_cliff)
     past_int32 = FakeN(dense, 2**31)
-    assert not eligible_any(past_int32)
+    assert eligible_any(past_int32)        # wide layout covers it
+    past_40bit = FakeN(dense, 2**40)
+    assert not eligible_any(past_40bit)
+
+
+@pytest.mark.parametrize("P", [256, 512])
+def test_blockbits_wide_matches_native(rng, make_reads, P):
+    """The wide (n >= 2^31) layout — split u32/high-byte checkpoints, int64
+    lane positions — must be value-identical to the int32 layout and the
+    native engine on the same index (forced wide=True on a small n so the
+    layout itself is what's exercised; the hi bytes are all zero here but
+    every reassembly path runs)."""
+    for trial in range(2):
+        text, dense, native = _setup(rng, int(rng.integers(2000, 9000)))
+        arrays, meta, host = build_blockbits(dense, P=P, wide=True)
+        assert meta.wide and meta.dtype == "int64"
+        assert arrays.n.dtype == np.int64
+        reads = make_reads(rng, text, num=12, max_len=300)
+        reads.append(b"N" * 64)
+        reads.append(text[:130])
+        reads.append(text[-100:])
+        pml = ScanEngine(arrays, meta, mode="pml", host=host).query(reads)
+        for a, b in zip(pml["lengths"], native.query_pml(reads)):
+            assert np.array_equal(a, b)
+
+
+def test_blockbits_wide_checkpoint_split():
+    """The split checkpoint encode/decode round-trips values past 2^31
+    (unit-level: build-side packing vs the kernel's reassembly arithmetic,
+    since building a real n >= 2^31 index is a bench-scale job)."""
+    vals = np.asarray([0, 1, 2**31 - 1, 2**31, 2**32 - 1, 2**32,
+                       3 * 10**9, 2**39 - 1], dtype=np.int64)
+    lo = (vals & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+    hi = (vals >> 32).astype(np.int64)
+    rebuilt = (hi << 32) | (lo.astype(np.int64) & 0xFFFFFFFF)
+    assert np.array_equal(rebuilt, vals)
+
+
+def test_blockbits_wide_fused_classify(rng, make_reads):
+    """Fused on-device classification over the wide layout (the n >= 2^31
+    production path for report-only runs)."""
+    import jax
+    from spumoni_tpu.classify import binmax
+    from spumoni_tpu.parallel.mesh import (ShardedPmlClassifier,
+                                           make_data_mesh)
+
+    text, dense, native = _setup(rng, 6000)
+    arrays, meta, host = build_blockbits(dense, wide=True)
+    mesh = make_data_mesh(jax.devices("cpu")[:4])
+    clf = ShardedPmlClassifier(arrays, meta, mesh, bin_width=150,
+                               max_value_thr=5, host=host)
+    reads = make_reads(rng, text, num=9, max_len=400)
+    out = clf.classify(reads, want_values=False)
+    lengths = native.query_pml(reads)
+    for i, rd in enumerate(reads):
+        res = binmax.classify(lengths[i], 150, 5)
+        assert out["above"][i] == res.bins_above, i
+        assert out["below"][i] == res.bins_below, i
+        assert bool(out["found"][i]) == (res.status == "FOUND"), i
