@@ -468,6 +468,219 @@ def extend_pointers_diag(text_words: jnp.ndarray, reads: jnp.ndarray,
     return out
 
 
+def _aligned_bytes64(rowtab, bytepos):
+    """[B, 64] u8 window starting at `bytepos` from a [rows, 17]-u64 table:
+    one row gather + the byte-level butterfly (as _aligned_u64x8, but stays
+    in bytes — the consumer compares bytes directly)."""
+    row = rowtab[jnp.clip(bytepos >> 6, 0, rowtab.shape[0] - 1)]  # [B, 17]
+    b = jax.lax.bitcast_convert_type(row, jnp.uint8)
+    b = b.reshape(b.shape[0], 136)
+    off = (bytepos & 63).astype(jnp.int32)
+    for s in (32, 16, 8, 4, 2, 1):
+        take = ((off & s) != 0)[:, None]
+        b = jnp.where(take, b[:, s:], b[:, :b.shape[1] - s])
+    return b[:, :64]
+
+
+def _window_bytes_u8(rowtab, bytepos, W):
+    """[B, W] u8 window starting at `bytepos` from a build_text_wide-style
+    table (byte-level variant of _window_bytes)."""
+    shift = W.bit_length() - 1
+    row = rowtab[jnp.clip(bytepos >> shift, 0, rowtab.shape[0] - 1)]
+    b = jax.lax.bitcast_convert_type(row, jnp.uint8)
+    b = b.reshape(b.shape[0], (W // 4 + 1) * 8)
+    off = (bytepos & (W - 1)).astype(jnp.int32)
+    s = W // 2
+    while s:
+        take = ((off & s) != 0)[:, None]
+        b = jnp.where(take, b[:, s:], b[:, :b.shape[1] - s])
+        s //= 2
+    return b[:, :W]
+
+
+def _lcp_bytes(tb, rb):
+    """Leading equal bytes of two [B, W] u8 windows (W when identical):
+    one compare + one masked-iota min — no u64 xor/popcount/fold (u64 ops
+    are emulated as 32-bit pairs on TPU)."""
+    W = tb.shape[1]
+    iw = jnp.arange(W, dtype=jnp.int32)[None, :]
+    return jnp.min(jnp.where(tb != rb, iw, W), axis=1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nt", "chunk_positions", "K", "tail_chunk"))
+def extend_pointers_sweep(text_words: jnp.ndarray, reads: jnp.ndarray,
+                          read_lens: jnp.ndarray, ptrs: jnp.ndarray, nt: int,
+                          text_wide, chunk_positions: int = 262144,
+                          K: int = 4, tail_chunk: int = 16384):
+    """MS extension v4: BULK SINGLE PASS + compacted long tails.
+
+    The chunked-while kernels (extend_pointers_diag/diag2) pay one
+    latency-bound ~0.4 ms compare iteration per (chunk, step) even though
+    only ~8-50% of flat positions are diagonal ends and ~95% of those ends
+    resolve within the FIRST 64-byte window (LCP < 64 — at sequencing error
+    rates the post-jump match is short). This kernel restructures around
+    that distribution:
+
+      A. one sweep over all B*L flat positions in large chunks (no while):
+         a single 64-byte byte-compare per diagonal end — resolves the
+         short-LCP bulk at full lane occupancy, 2 row gathers + a byte
+         butterfly + a masked-iota min per position;
+      B. the few survivors (LCP >= 64: strain-jump tails, ~O(1) per
+         positive read) are extracted per read (top-K first-column passes,
+         repeated under a while_loop until none remain) into dense [B, K]
+         lanes and extended with 256-byte windows against GLOBAL
+         overlapped text/read tables — over the gather row-count cliff,
+         but at tail lane counts that costs microseconds;
+      C. the arithmetic diagonal fill (reverse cummin), as in v2.
+
+    Exactness matches extend_pointers_diag (same precondition: pointers
+    >= 1; reset/underflow reads take the sequential-carry fallback), which
+    itself matches the reference's SLP extension loop semantics
+    (compute_ms_pml.cpp:802-810) with the HBM text replacing the SLP.
+    """
+    B, L = reads.shape
+    dt = ptrs.dtype
+    i32 = jnp.int32
+    iota = jnp.arange(L, dtype=dt)[None, :]
+
+    nxt = jnp.concatenate([ptrs[:, 1:], jnp.full((B, 1), -(1 << 30), dt)],
+                          axis=1)
+    in_read = iota < read_lens[:, None]
+    ends = ((iota >= read_lens[:, None] - 1) | (nxt != ptrs + 1)
+            | (ptrs <= 0)) & in_read
+
+    BL = B * L
+    CH = chunk_positions
+    while BL % CH:
+        CH //= 2
+    nch = BL // CH
+    ROWS_WG = BL // 256 + 2
+    gpad = (ROWS_WG + 2) * 32 * 8 - BL      # covers the global 256 B rows
+    rflat = jnp.concatenate(
+        [reads.reshape(-1), jnp.zeros((max(gpad, 64), ), jnp.uint8)])
+    gwords = jax.lax.bitcast_convert_type(
+        rflat[:(rflat.shape[0] // 8) * 8].reshape(-1, 8), jnp.uint64)
+
+    flat_ptr = ptrs.reshape(-1)
+    flat_act = (ends & (ptrs >= 0)).reshape(-1)
+    lens_i = read_lens.astype(dt)
+
+    # ---- phase A: one 64-byte compare per flat position ----
+    def chunk_body(carry, xs):
+        fp, fa, base = xs
+        rpos0 = base * CH + jnp.arange(CH, dtype=dt)
+        rrow = rpos0 // L
+        limit = rrow * L + lens_i[jnp.clip(rrow, 0, B - 1)]
+        kmax = jnp.minimum(jnp.minimum(limit - rpos0, nt - fp),
+                           64).astype(i32)
+        tb = _aligned_bytes64(text_words, fp)
+        # the read-side window of flat position base*CH+i is CONTIGUOUS
+        # (starts at that byte): 64 shifted slices of the chunk's bytes
+        # replace the gather+butterfly (measured 1.51 -> 1.21 s phase A)
+        cb = jax.lax.dynamic_slice(
+            rflat, ((base * CH).astype(jnp.int32),), (CH + 64,))
+        rb = jnp.stack([cb[j:j + CH] for j in range(64)], axis=1)
+        k = jnp.clip(jnp.minimum(_lcp_bytes(tb, rb), kmax), 0, 64)
+        l = jnp.where(fa, k, 0).astype(dt)
+        surv = fa & (k == 64)
+        return carry, (l, surv)
+
+    _, (l_c, surv_c) = jax.lax.scan(
+        chunk_body, 0,
+        (flat_ptr.reshape(nch, CH), flat_act.reshape(nch, CH),
+         jnp.arange(nch, dtype=dt)))
+    l_flat = l_c.reshape(B, L)
+    surv = surv_c.reshape(B, L)
+
+    # ---- phase B: survivors in dense [B, K] rounds ----
+    # global 256 B-window read rows, CONTIGUOUS construction (row g = words
+    # 32g..32g+64: two shifted row views + one column — _rows_overlap's
+    # strided column slices cost ~1 s at this scale). Built lazily inside
+    # round_body: the while_loop body only executes when survivors exist.
+    def _rtab_wg():
+        wpad = gwords[:(ROWS_WG + 2) * 32]
+        wpad = jnp.concatenate(
+            [wpad, jnp.zeros(((ROWS_WG + 2) * 32 - wpad.shape[0],),
+                             gwords.dtype)]).reshape(ROWS_WG + 2, 32)
+        return jnp.concatenate(
+            [wpad[:ROWS_WG], wpad[1:ROWS_WG + 1], wpad[2:ROWS_WG + 2, :1]],
+            axis=1)
+
+    BK = B * K
+    TCH = min(tail_chunk, BK)
+    while BK % TCH:
+        TCH //= 2
+    ntc = BK // TCH
+
+    def tail_chunkbody(rtab_wg, carry, xs):
+        fidx, valid = xs                       # [TCH] flat pos, active mask
+        fidc = jnp.clip(fidx, 0, BL - 1)
+        p = flat_ptr[fidc]
+        l0 = l_flat.reshape(-1)[fidc]
+        rrow = fidc // L
+        limit = rrow * L + lens_i[rrow]
+
+        def cond(s):
+            return jnp.any(s[1])
+
+        def body(s):
+            l, act = s
+            tpos = p + l
+            rpos = fidc.astype(dt) + l
+            kmax = jnp.minimum(jnp.minimum(limit - rpos, nt - tpos),
+                               256).astype(i32)
+            tb = _window_bytes_u8(text_wide, tpos, 256)
+            rb = _window_bytes_u8(rtab_wg, rpos, 256)
+            k = jnp.clip(jnp.minimum(_lcp_bytes(tb, rb), kmax), 0, 256)
+            l = l + jnp.where(act, k, 0).astype(dt)
+            act = act & (k == 256)
+            return l, act
+
+        l, _ = jax.lax.while_loop(cond, body, (l0, valid))
+        return carry, l
+
+    def round_body(state):
+        l_flat, m = state
+        rtab_wg = _rtab_wg()
+        sels = []
+        for _ in range(K):                     # first K surviving columns
+            s = jnp.min(jnp.where(m, iota, L), axis=1)       # [B]
+            sels.append(s)
+            m = m & (iota != s[:, None])
+        sel = jnp.stack(sels, axis=1)                        # [B, K]
+        valid = sel < L
+        fidx = (jnp.arange(B, dtype=dt)[:, None] * L
+                + jnp.clip(sel, 0, L - 1))                   # [B, K]
+        _, l_res = jax.lax.scan(
+            functools.partial(tail_chunkbody, rtab_wg), 0,
+            (fidx.reshape(ntc, TCH), valid.reshape(ntc, TCH)))
+        l_res = l_res.reshape(B, K)
+        for k_ in range(K):                    # merge back (no scatter)
+            l_flat = jnp.where(
+                valid[:, k_:k_ + 1] & (iota == sel[:, k_:k_ + 1]),
+                l_res[:, k_:k_ + 1], l_flat)
+        return l_flat, m
+
+    l_flat, _ = jax.lax.while_loop(
+        lambda st: jnp.any(st[1]), round_body, (l_flat, surv))
+
+    # ---- phase C: arithmetic diagonal fill ----
+    # out[i] = l_e + (e - i) for the NEAREST end e >= i, as ONE reverse
+    # cummin of g[e] = l_e + e (ends only; +inf elsewhere) minus i. The
+    # values at ends are true matching statistics (LCP at a valid MS
+    # pointer is the maximal match), so MS[i] <= MS[i+1] + 1 holds and
+    # g is non-decreasing across ends — the minimum over e >= i IS the
+    # nearest end. This replaces v2's two-step fill (end-index cummin +
+    # take_along_axis gather) with a single scan op.
+    BIG = jnp.asarray(1 << 30, dt)
+    g = jnp.where(ends, l_flat + iota, BIG)
+    gmin = jax.lax.cummin(g, axis=1, reverse=True)
+    out = (gmin - iota).astype(dt)
+    out = jnp.where((ptrs >= 0) & in_read & (gmin < BIG), out, 0)
+    return out
+
+
 def _cumsum_doubling(x: jnp.ndarray) -> jnp.ndarray:
     """Inclusive prefix sum along the last axis via log-step doubling
     (shifted adds only). jnp.cumsum/reduce-window on long axes allocates

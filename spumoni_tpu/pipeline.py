@@ -828,7 +828,10 @@ def _run_general_text(cfg: RunConfig, engine) -> int:
     """General-text querying: reads separated by \\x01
     (compute_ms_pml.cpp:1219-1297), streamed through the same
     batching/prefetch/host-sharding path as FASTA queries — the pattern file
-    is never loaded whole into memory."""
+    is never loaded whole into memory. No classification/report: the
+    reference's general-text drivers emit only the value files
+    (compute_ms_pml.cpp:1222-1224,1266-1267). A per-host durable cursor makes
+    killed multi-host runs restartable, like the FASTA path."""
     from .io.fasta import iter_general_reads
     from .parallel import distributed as dist
 
@@ -840,16 +843,24 @@ def _run_general_text(cfg: RunConfig, engine) -> int:
     else:
         paths["lengths"] = out_prefix + ".lengths"
         paths["pointers"] = out_prefix + ".pointers"
-    files = {k_: open(dist.shard_path(v, p, P), "wb")
+
+    cursor_path = dist.shard_path(out_prefix + ".cursor", p, P)
+    skip = 0
+    if cfg.resume and os.path.exists(cursor_path):
+        with open(cursor_path) as f:
+            skip = int(f.read().strip() or 0)
+        log("run", f"resuming after {skip} completed reads (host {p})")
+    files = {k_: open(dist.shard_path(v, p, P), "ab" if skip else "wb")
              for k_, v in paths.items()}
 
     def my_records():
         stream = dist.host_shard_reads(
             iter_general_reads(cfg.pattern_file), p, P)
-        for _, item in stream:
-            yield item
+        for own_idx, (_, item) in enumerate(stream):
+            if own_idx >= skip:
+                yield item
 
-    num_reads = 0
+    num_reads = skip
     for batch in _prefetched(batch_iter(my_records(), cfg.batch_bases)):
         ids = [rid for rid, _ in batch]
         reads = [rd for _, rd in batch]
@@ -862,8 +873,11 @@ def _run_general_text(cfg: RunConfig, engine) -> int:
             num_reads += 1
         for f in files.values():
             f.flush()
+        with open(cursor_path, "w") as f:
+            f.write(str(num_reads))
     for f in files.values():
         f.close()
+    os.path.exists(cursor_path) and os.remove(cursor_path)
 
     if P > 1:
         _, num_reads = dist.global_found_counts(0, num_reads)

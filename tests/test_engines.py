@@ -212,6 +212,58 @@ def test_extension_diag2_compaction_matches_v2(rng, make_reads):
                 (seg, ch, j)
 
 
+def test_extension_sweep_matches_v2(rng, make_reads):
+    """The bulk-sweep extension (v4: one 64 B byte-compare per flat
+    position + per-read top-K long-tail rounds) must equal v2 and the
+    two-pointer oracle — including reads whose survivor count exceeds K
+    (forces multiple extraction rounds), exact substrings (single long
+    diagonal), and tiny chunk sizes crossing read boundaries."""
+    import jax.numpy as jnp
+    from spumoni_tpu.engine.scan_engine import (build_text_wide,
+                                                build_text_words,
+                                                extend_pointers_diag,
+                                                extend_pointers_kernel,
+                                                extend_pointers_sweep)
+
+    # repetitive text -> long post-jump tails (many LCP >= 64 survivors)
+    unit = rand_dna(rng, 1500)
+    text = unit * 3 + rand_dna(rng, 2000)
+    raw, dense, native = _build(text)
+    arrays, meta = to_device_arrays(dense)
+    nt = int(arrays.text.shape[0])
+    tw = build_text_words(arrays.text, nt)
+    twide = build_text_wide(arrays.text, nt)
+
+    reads = make_reads(rng, text, num=12, max_len=256)
+    reads.append(text[100:350])                  # one diagonal, long LCP
+    reads.append(unit[:200] + unit[:56])         # repeat-heavy: many tails
+    reads.append(bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), 256)))
+    ptrs, _ = native.query_ms(reads)
+    normal = [i for i in range(len(reads)) if (ptrs[i] >= 1).all()]
+    B, L = len(normal), 256
+    fwd = np.zeros((B, L), np.uint8)
+    pf = np.zeros((B, L), np.int64)
+    rl = np.zeros((B,), np.int64)
+    for j, i in enumerate(normal):
+        a = np.frombuffer(reads[i], np.uint8)[:L]
+        fwd[j, :len(a)] = a
+        pf[j, :len(a)] = ptrs[i][:L]
+        rl[j] = len(a)
+    v2 = np.asarray(extend_pointers_diag(
+        tw, jnp.asarray(fwd), jnp.asarray(rl), jnp.asarray(pf), nt))
+    oracle = np.asarray(extend_pointers_kernel(
+        arrays.text, jnp.asarray(fwd), jnp.asarray(rl), jnp.asarray(pf), nt))
+    # K=1 forces a round per survivor; also cover chunk < L and defaults
+    for chp, K, tch in ((4096, 1, 512), (1024, 2, 256), (262144, 4, 16384)):
+        v4 = np.asarray(extend_pointers_sweep(
+            tw, jnp.asarray(fwd), jnp.asarray(rl), jnp.asarray(pf), nt,
+            twide, chunk_positions=chp, K=K, tail_chunk=tch))
+        for j in range(B):
+            assert np.array_equal(v4[j, :rl[j]], v2[j, :rl[j]]), (chp, K, j)
+            assert np.array_equal(v4[j, :rl[j]], oracle[j, :rl[j]]), \
+                (chp, K, j)
+
+
 def test_classify_only_matches_host_binmax(rng, make_reads):
     """ScanEngine.classify (fused on-device bin-max, O(B) summaries) must
     agree with host binmax.classify on query values — both modes, including
