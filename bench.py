@@ -174,7 +174,7 @@ def bench_tpu_ms(raw, text, rng):
     from spumoni_tpu.engine.layered import build_layered
     from spumoni_tpu.engine.scan_engine import (build_text_words,
                                                 build_text_wide,
-                                                extend_pointers_diag,
+                                                extend_pointers_sweep,
                                                 query_batch_kernel_v2)
 
     B_ms = 65536
@@ -195,8 +195,8 @@ def bench_tpu_ms(raw, text, rng):
     def step():
         ptrs, _, _ = query_batch_kernel_v2(arrays, rev_d, meta, "ms",
                                            False, planes)
-        lens_ = extend_pointers_diag(tw, fwd_d, lens_d, ptrs[:, ::-1], nt,
-                                     text_wide=twide)
+        lens_ = extend_pointers_sweep(tw, fwd_d, lens_d, ptrs[:, ::-1], nt,
+                                      twide)
         return lens_
 
     np.asarray(step()[:1])  # compile + warm

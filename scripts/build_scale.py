@@ -72,14 +72,19 @@ def gen_reads(text, n_reads, read_len, rng):
 
 
 def main():
+    global CACHE
     ap = argparse.ArgumentParser()
     ap.add_argument("--strains", type=int, default=14)
     ap.add_argument("--mbp", type=int, default=150)
     ap.add_argument("--div", type=float, default=0.002)
     ap.add_argument("--threads", type=int, default=os.cpu_count() or 1)
     ap.add_argument("--P", type=int, default=512)
+    ap.add_argument("--out", default=CACHE,
+                    help="cache dir (default: the scale bench cache; use "
+                         "e.g. .../scale_wide for the n >= 2^31 config)")
     args = ap.parse_args()
 
+    CACHE = args.out
     os.makedirs(CACHE, exist_ok=True)
     strain_len = args.mbp * 1_000_000
     rng = np.random.default_rng(0)

@@ -1131,11 +1131,10 @@ class ScanEngine:
                                                         self.nt)
                     self._text_wide = build_text_wide(self.arrays.text,
                                                       self.nt)
-                lens_mat = np.array(extend_pointers_diag(
+                lens_mat = np.array(extend_pointers_sweep(
                     self._text_words, jnp.asarray(fwd),
                     jnp.asarray(lens.astype(vals.dtype)),
-                    jnp.asarray(ptrs_fwd), self.nt,
-                    text_wide=self._text_wide))
+                    jnp.asarray(ptrs_fwd), self.nt, self._text_wide))
                 # Reads with any pointer <= 0 (reset artifacts / unsigned
                 # underflow from index-absent chars) take the reference's
                 # QUIRK path: the extension carry l = max(l-1, 0) applies
@@ -1223,9 +1222,9 @@ class ScanEngine:
         if self._text_words is None:
             self._text_words = build_text_words(self.arrays.text, self.nt)
             self._text_wide = build_text_wide(self.arrays.text, self.nt)
-        lens_mat = extend_pointers_diag(
+        lens_mat = extend_pointers_sweep(
             self._text_words, jnp.asarray(fwd), lens_dt, ptrs_fwd_d, self.nt,
-            text_wide=self._text_wide)
+            self._text_wide)
         max_bins = max(1, -(-L // bin_width))
         found, above, below, summ = binmax_values_kernel(
             lens_mat, lens_dt, thr, bin_width, max_bins)
