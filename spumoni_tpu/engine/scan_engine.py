@@ -511,7 +511,7 @@ def _lcp_bytes(tb, rb):
     jax.jit, static_argnames=("nt", "chunk_positions", "K", "tail_chunk"))
 def extend_pointers_sweep(text_words: jnp.ndarray, reads: jnp.ndarray,
                           read_lens: jnp.ndarray, ptrs: jnp.ndarray, nt: int,
-                          text_wide, chunk_positions: int = 262144,
+                          text_wide, chunk_positions: int = 131072,
                           K: int = 4, tail_chunk: int = 16384):
     """MS extension v4: BULK SINGLE PASS + compacted long tails.
 
