@@ -909,6 +909,8 @@ def extend_pointers_kernel(text: jnp.ndarray, reads: jnp.ndarray,
 
 
 _downcast_u16 = jax.jit(lambda x: x.astype(jnp.uint16))
+_downcast_u8 = jax.jit(lambda x: x.astype(jnp.uint8))
+_batch_max = jax.jit(jnp.max)
 
 
 @functools.partial(jax.jit, static_argnames=("bin_width", "max_bins"))
@@ -1011,7 +1013,13 @@ class ScanEngine:
         host link, which production value-emitting runs are bound by."""
         if (self.mode == "pml" and L <= 0xFFFF
                 and not isinstance(v, np.ndarray)):
-            v = _downcast_u16(v)
+            # adaptive width: the d2h link runs ~21-34 MB/s (PERF_NOTES),
+            # so the batch max (an O(1) transfer) picks u8 when every PML
+            # fits a byte — the common case, halving the dominant transfer
+            if int(_batch_max(v)) < 256:
+                v = _downcast_u8(v)
+            else:
+                v = _downcast_u16(v)
         return np.asarray(v)
 
     def _query_group(self, reads, L: int):
