@@ -250,7 +250,7 @@ def bench_e2e(raw, text, rng):
     from spumoni_tpu.index.null_db import EmpNullDatabase
     from spumoni_tpu.pipeline import RunConfig, run
 
-    n_reads = 16384
+    n_reads = 65536
     d = tempfile.mkdtemp(prefix="spumoni_e2e_")
     prefix = os.path.join(d, "idx")
     dense = build_dense_index(raw)
@@ -264,13 +264,27 @@ def bench_e2e(raw, text, rng):
         for i in range(n_reads):
             f.write(f">r{i}\n{reads[i].tobytes().decode()}\n")
 
+    # 4 batches: the prefetch (decode) and writer (classify+IO) threads
+    # overlap device compute across batch boundaries
     cfg = dict(ref_file=prefix, pattern_file=reads_path, pml_requested=True,
-               min_digest=False, write_report=True, batch_bases=32_000_000)
+               min_digest=False, write_report=True, batch_bases=16_000_000)
     run(RunConfig(**cfg))          # warm (compile + caches)
     t0 = time.time()
     run(RunConfig(**cfg))
     dt = time.time() - t0
     assert os.path.getsize(reads_path + ".pseudo_lengths") > n_reads * L
+    # report-only counterpart: the classify-only serving path (O(B)
+    # summaries leave the chip; no value files) — reported on stderr
+    cfg_ro = dict(cfg, report_only=True)
+    run(RunConfig(**cfg_ro))
+    t1 = time.time()
+    run(RunConfig(**cfg_ro))
+    dt_ro = time.time() - t1
+    print(json.dumps({
+        "metric": "pml_e2e_report_only_reads_per_s",
+        "value": round(n_reads / dt_ro, 2),
+        "unit": "reads/s (1024bp)",
+    }), file=sys.stderr, flush=True)
     return n_reads / dt
 
 

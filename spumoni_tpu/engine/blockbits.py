@@ -166,12 +166,38 @@ def eligible_any(idx) -> bool:
     return pack is not None and int(idx.n) < 2**40
 
 
+_BB_CACHE_VERSION = 1
+
+
+def _bb_cache_key(idx, P: int, pack: int, wide: bool) -> np.ndarray:
+    """Cheap content fingerprint: shape scalars + sampled run/threshold
+    values. Strong enough to catch a changed index at the same path."""
+    import hashlib
+
+    r = int(idx.run_starts.shape[0])
+    h = hashlib.sha256()
+    for a in (idx.run_heads, idx.run_starts, idx.c_thr):
+        s = np.ascontiguousarray(np.asarray(a)[:: max(1, r // 4096)])
+        h.update(s.tobytes())
+    dig = np.frombuffer(h.digest()[:16], dtype=np.int64)
+    return np.concatenate([
+        np.asarray([_BB_CACHE_VERSION, int(idx.n), r, P, pack, int(wide)],
+                   dtype=np.int64), dig])
+
+
 def build_blockbits(idx, P: Optional[int] = None, pack: Optional[int] = None,
-                    wide: Optional[bool] = None):
+                    wide: Optional[bool] = None,
+                    cache_path: Optional[str] = None):
     """DenseIndex -> (BitArrays on device, BitMeta, OccHost).
 
     wide=True (auto past 2^31 positions) switches to the split-checkpoint
-    row layout + int64 lane positions; rows stay int32 either way."""
+    row layout + int64 lane positions; rows stay int32 either way.
+
+    cache_path: optional .npz path for the packed rows — the row build is
+    the expensive part (~8 min at 2 Gbp) and is deterministic in the index
+    content, so `run` invocations after the first load it from disk (the
+    reference's analog: the serialized .thrbv index IS its run-time form,
+    thresholds_ds.hpp load)."""
     n = int(idx.n)
     if wide is None:
         wide = n >= 2**31
@@ -184,6 +210,20 @@ def build_blockbits(idx, P: Optional[int] = None, pack: Optional[int] = None,
         P = pick_P(n, pack, over_cliff=True, wide=wide)
         assert P is not None, "n too large for block-bits (use engine v2)"
     assert P % 32 == 0 and P & (P - 1) == 0
+
+    import os
+
+    cache_key = None
+    if cache_path is not None:
+        cache_key = _bb_cache_key(idx, P, pack, wide)
+        if os.path.exists(cache_path):
+            try:
+                d = np.load(cache_path)
+                if (d["key"].shape == cache_key.shape
+                        and (d["key"] == cache_key).all()):
+                    return _assemble_blockbits(idx, d["rows"], P, pack, wide)
+            except Exception:
+                pass  # unreadable/stale cache: rebuild below
 
     cnt = np.asarray(idx.cnt, dtype=np.int64)
     F = np.asarray(idx.F, dtype=np.int64)
@@ -305,7 +345,41 @@ def build_blockbits(idx, P: Optional[int] = None, pack: Optional[int] = None,
             rows[r0:r1, T0 + k * wpc:T0 + (k + 1) * wpc] = (
                 packed.reshape(rc, wpc).view(np.int32))
 
+    if cache_path is not None:
+        tmp = cache_path + ".tmp.npz"
+        np.savez(tmp, key=cache_key, rows=rows)
+        os.replace(tmp, cache_path)
+    return _assemble_blockbits(idx, rows, P, pack, wide)
+
+
+def _assemble_blockbits(idx, rows: np.ndarray, P: int, pack: int, wide: bool):
+    """Host rows (built or cache-loaded) -> (BitArrays on device, BitMeta,
+    OccHost). Everything here is cheap (O(r) scalars), so the cache only
+    stores the rows."""
     from ..utils import device_put_chunked
+
+    n = int(idx.n)
+    cnt = np.asarray(idx.cnt, dtype=np.int64)
+    F = np.asarray(idx.F, dtype=np.int64)
+    index_chars = np.nonzero(cnt)[0]
+    if pack == 2:
+        code_chars = np.asarray(
+            [c for c in index_chars if c != TERM_BYTE], dtype=np.int64)
+    else:
+        code_chars = np.asarray(index_chars, dtype=np.int64)
+    sigma = len(index_chars)
+    W = _width(P, pack, wide)
+    assert rows.shape == (-(-n // P), W), (rows.shape, n, P, W)
+
+    rmap = np.full(256, MAX_SIGMA, dtype=np.uint8)
+    rmap[code_chars] = np.arange(len(code_chars), dtype=np.uint8)
+    term_pos, term_code, F_term = -1, 0, 0
+    if pack == 2 and cnt[TERM_BYTE]:
+        rmap[TERM_BYTE] = TERM_CODE
+        run_heads = np.asarray(idx.run_heads, dtype=np.uint8)
+        run_starts = np.asarray(idx.run_starts, dtype=np.int64)
+        term_pos = int(run_starts[np.nonzero(run_heads == TERM_BYTE)[0][0]])
+        F_term = int(F[TERM_BYTE])
 
     pdt = np.int64 if wide else np.int32
     arrays = BitArrays(

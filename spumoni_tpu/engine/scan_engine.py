@@ -1261,12 +1261,15 @@ class ScanEngine:
         return found, above, below, summ
 
     def classify(self, reads, bin_width: int, max_value_thr: int,
-                 max_lanes: int = 8192):
+                 max_lanes: int = 65536):
         """Fused report-only classification (the -c path of
         compute_ms_pml.cpp:845-1034 without value-file output): bin-max
         verdicts are computed on device and only O(B) summaries cross the
         host link. Long-read buckets (L > chunk) fall back to the value
-        path + host classification (bin windows span chunk boundaries)."""
+        path + host classification (bin windows span chunk boundaries).
+        max_lanes is larger than query()'s: only O(B) summaries return, so
+        bigger kernel calls amortize the per-step scan overhead (which
+        dominates under B=32k, PERF_NOTES) with no d2h penalty."""
         from ..classify import binmax
 
         n = len(reads)

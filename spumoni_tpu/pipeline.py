@@ -432,7 +432,7 @@ class RunConfig:
                                  "statistic needs the full value vectors)")
 
 
-def _make_engine(cfg: RunConfig, dense: DenseIndex):
+def _make_engine(cfg: RunConfig, dense: DenseIndex, index_path=None):
     if cfg.device == "cpu":
         ss = _unorder_samples(dense, "c_ssamp")
         es = _unorder_samples(dense, "c_esamp")
@@ -493,9 +493,13 @@ def _make_engine(cfg: RunConfig, dense: DenseIndex):
             and _blockbits_eligible(dense)):
         from .engine import blockbits
         if not blockbits.eligible_any(dense):
-            raise ValueError("block-bits engine needs sigma <= 8 and int32 "
-                             "positions (use engine=layered)")
-        arrays, meta, host = blockbits.build_blockbits(dense)
+            raise ValueError("block-bits engine needs sigma <= 8 and "
+                             "positions under 2^40 (use engine=layered)")
+        # the packed-rows build is minutes at genome scale; cache it next
+        # to the index (content-keyed) so later runs load it directly
+        cache = (index_path + ".bbrows.npz") if index_path else None
+        arrays, meta, host = blockbits.build_blockbits(dense,
+                                                       cache_path=cache)
     else:
         from .engine.layered import build_layered
         arrays, meta, host = build_layered(dense)
@@ -598,7 +602,7 @@ def run(cfg: RunConfig) -> int:
     base = cfg.ref_file + ext if not cfg.is_general_text else cfg.ref_file
     index_path = base + (".thrbv.ms" if cfg.mode == "ms" else ".thrbv.spumoni")
     dense = load_dense_index(index_path)
-    engine = _make_engine(cfg, dense)
+    engine = _make_engine(cfg, dense, index_path=index_path)
     if cfg.device != "cpu":
         from .utils import device_array_footprint
         fp = device_array_footprint(engine.arrays)

@@ -116,6 +116,36 @@ def test_blockbits_chunked_long_reads(rng):
         assert np.array_equal(a, b)
 
 
+def test_blockbits_rows_cache_roundtrip(rng, make_reads, tmp_path):
+    """The content-keyed rows cache must load to identical results, and a
+    DIFFERENT index at the same path must miss (stale-cache safety)."""
+    text, dense, native = _setup(rng, 5000)
+    cache = str(tmp_path / "idx.bbrows.npz")
+    reads = make_reads(rng, text, num=8, max_len=200)
+    ref = native.query_pml(reads)
+
+    arrays1, meta1, host1 = build_blockbits(dense, cache_path=cache)
+    import os
+    assert os.path.exists(cache)
+    mtime = os.path.getmtime(cache)
+    arrays2, meta2, host2 = build_blockbits(dense, cache_path=cache)
+    assert os.path.getmtime(cache) == mtime      # hit: not rewritten
+    assert meta1 == meta2
+    assert np.array_equal(np.asarray(arrays1.bblocks),
+                          np.asarray(arrays2.bblocks))
+    pml = ScanEngine(arrays2, meta2, mode="pml", host=host2).query(reads)
+    for a, b in zip(pml["lengths"], ref):
+        assert np.array_equal(a, b)
+
+    # different content at the same path -> rebuild, not a poisoned load
+    text3, dense3, native3 = _setup(rng, 5200)
+    arrays3, meta3, host3 = build_blockbits(dense3, cache_path=cache)
+    reads3 = make_reads(rng, text3, num=6, max_len=150)
+    pml3 = ScanEngine(arrays3, meta3, mode="pml", host=host3).query(reads3)
+    for a, b in zip(pml3["lengths"], native3.query_pml(reads3)):
+        assert np.array_equal(a, b)
+
+
 def test_blockbits_rejects_ms_and_doc(rng):
     text, dense, native = _setup(rng, 2000)
     arrays, meta, host = build_blockbits(dense)
