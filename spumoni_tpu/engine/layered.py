@@ -171,13 +171,15 @@ def build_layered(idx, want_samples=None, want_doc=None, want_text=None,
         fields[1:r + 1, F_EDOC] = ed
         fields[:r, F_SDOC] = sd
 
+    from ..utils import device_put_chunked
+
     text = None
     if want_text and idx.text is not None:
         t_ = np.asarray(idx.text, dtype=np.uint8)
         tp = max(1, 1 << (len(t_) - 1).bit_length())
         if tp != len(t_):
             t_ = np.concatenate([t_, np.zeros(tp - len(t_), dtype=np.uint8)])
-        text = jnp.asarray(t_)
+        text = device_put_chunked(t_)     # >1 GB at genome scale
 
     # fused per-char matrix: charmeta ++ root-level row (rank is always 0 at
     # the root, so the root row is a pure function of the char). Split into
@@ -202,8 +204,10 @@ def build_layered(idx, want_samples=None, want_doc=None, want_text=None,
     arrays = LayeredArrays(
         rootmat_planes=rootmat_planes,
         charmeta=jnp.asarray(charmeta.astype(dtype)),
-        levels=tuple(jnp.asarray(lv) for lv in levels),
-        fields=jnp.asarray(fields.astype(dtype)),
+        levels=tuple(device_put_chunked(np.ascontiguousarray(lv))
+                     for lv in levels),
+        fields=device_put_chunked(
+            np.ascontiguousarray(fields.astype(dtype))),
         text=text,
         n=jnp.asarray(np.asarray(n, dtype=dtype)),
         last_run_sample=jnp.asarray(np.asarray(idx.last_run_sample, dtype=dtype)),

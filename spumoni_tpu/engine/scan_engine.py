@@ -555,8 +555,10 @@ def extend_pointers_sweep(text_words: jnp.ndarray, reads: jnp.ndarray,
     while BL % CH:
         CH //= 2
     nch = BL // CH
-    ROWS_WG = BL // 256 + 2
-    gpad = (ROWS_WG + 2) * 32 * 8 - BL      # covers the global 256 B rows
+    WIN = 256 if text_wide is not None else 64   # phase-B window bytes
+    ROWS_G = BL // WIN + 2
+    stride_g = WIN // 8
+    gpad = (ROWS_G + 2) * stride_g * 8 - BL      # covers the global rows
     rflat = jnp.concatenate(
         [reads.reshape(-1), jnp.zeros((max(gpad, 64), ), jnp.uint8)])
     gwords = jax.lax.bitcast_convert_type(
@@ -594,17 +596,20 @@ def extend_pointers_sweep(text_words: jnp.ndarray, reads: jnp.ndarray,
     surv = surv_c.reshape(B, L)
 
     # ---- phase B: survivors in dense [B, K] rounds ----
-    # global 256 B-window read rows, CONTIGUOUS construction (row g = words
-    # 32g..32g+64: two shifted row views + one column — _rows_overlap's
-    # strided column slices cost ~1 s at this scale). Built lazily inside
-    # round_body: the while_loop body only executes when survivors exist.
-    def _rtab_wg():
-        wpad = gwords[:(ROWS_WG + 2) * 32]
+    # global read-window rows, CONTIGUOUS construction (row g = shifted row
+    # views + one column — _rows_overlap's strided column slices cost ~1 s
+    # at this scale). Built lazily inside round_body: the while_loop body
+    # only executes when survivors exist. With text_wide the windows are
+    # 256 B (stride 32 words, width 65); without (memory-tight genome-scale
+    # MS, where the 256 B text table would not fit HBM) they are 64 B rows
+    # shaped like build_text_words' [*, 17] tables.
+    def _rtab_g():
+        wpad = gwords[:(ROWS_G + 2) * stride_g]
         wpad = jnp.concatenate(
-            [wpad, jnp.zeros(((ROWS_WG + 2) * 32 - wpad.shape[0],),
-                             gwords.dtype)]).reshape(ROWS_WG + 2, 32)
+            [wpad, jnp.zeros(((ROWS_G + 2) * stride_g - wpad.shape[0],),
+                             gwords.dtype)]).reshape(ROWS_G + 2, stride_g)
         return jnp.concatenate(
-            [wpad[:ROWS_WG], wpad[1:ROWS_WG + 1], wpad[2:ROWS_WG + 2, :1]],
+            [wpad[:ROWS_G], wpad[1:ROWS_G + 1], wpad[2:ROWS_G + 2, :1]],
             axis=1)
 
     BK = B * K
@@ -613,7 +618,7 @@ def extend_pointers_sweep(text_words: jnp.ndarray, reads: jnp.ndarray,
         TCH //= 2
     ntc = BK // TCH
 
-    def tail_chunkbody(rtab_wg, carry, xs):
+    def tail_chunkbody(rtab_g, carry, xs):
         fidx, valid = xs                       # [TCH] flat pos, active mask
         fidc = jnp.clip(fidx, 0, BL - 1)
         p = flat_ptr[fidc]
@@ -629,12 +634,16 @@ def extend_pointers_sweep(text_words: jnp.ndarray, reads: jnp.ndarray,
             tpos = p + l
             rpos = fidc.astype(dt) + l
             kmax = jnp.minimum(jnp.minimum(limit - rpos, nt - tpos),
-                               256).astype(i32)
-            tb = _window_bytes_u8(text_wide, tpos, 256)
-            rb = _window_bytes_u8(rtab_wg, rpos, 256)
-            k = jnp.clip(jnp.minimum(_lcp_bytes(tb, rb), kmax), 0, 256)
+                               WIN).astype(i32)
+            if WIN == 256:
+                tb = _window_bytes_u8(text_wide, tpos, 256)
+                rb = _window_bytes_u8(rtab_g, rpos, 256)
+            else:
+                tb = _aligned_bytes64(text_words, tpos)
+                rb = _aligned_bytes64(rtab_g, rpos)
+            k = jnp.clip(jnp.minimum(_lcp_bytes(tb, rb), kmax), 0, WIN)
             l = l + jnp.where(act, k, 0).astype(dt)
-            act = act & (k == 256)
+            act = act & (k == WIN)
             return l, act
 
         l, _ = jax.lax.while_loop(cond, body, (l0, valid))
@@ -642,7 +651,7 @@ def extend_pointers_sweep(text_words: jnp.ndarray, reads: jnp.ndarray,
 
     def round_body(state):
         l_flat, m = state
-        rtab_wg = _rtab_wg()
+        rtab_g = _rtab_g()
         sels = []
         for _ in range(K):                     # first K surviving columns
             s = jnp.min(jnp.where(m, iota, L), axis=1)       # [B]
@@ -653,7 +662,7 @@ def extend_pointers_sweep(text_words: jnp.ndarray, reads: jnp.ndarray,
         fidx = (jnp.arange(B, dtype=dt)[:, None] * L
                 + jnp.clip(sel, 0, L - 1))                   # [B, K]
         _, l_res = jax.lax.scan(
-            functools.partial(tail_chunkbody, rtab_wg), 0,
+            functools.partial(tail_chunkbody, rtab_g), 0,
             (fidx.reshape(ntc, TCH), valid.reshape(ntc, TCH)))
         l_res = l_res.reshape(B, K)
         for k_ in range(K):                    # merge back (no scatter)

@@ -253,11 +253,13 @@ def test_extension_sweep_matches_v2(rng, make_reads):
         tw, jnp.asarray(fwd), jnp.asarray(rl), jnp.asarray(pf), nt))
     oracle = np.asarray(extend_pointers_kernel(
         arrays.text, jnp.asarray(fwd), jnp.asarray(rl), jnp.asarray(pf), nt))
-    # K=1 forces a round per survivor; also cover chunk < L and defaults
-    for chp, K, tch in ((4096, 1, 512), (1024, 2, 256), (262144, 4, 16384)):
+    # K=1 forces a round per survivor; also cover chunk < L, defaults, and
+    # the memory-tight 64 B phase-B fallback (text_wide=None)
+    for chp, K, tch, twd in ((4096, 1, 512, twide), (1024, 2, 256, twide),
+                             (262144, 4, 16384, twide), (4096, 2, 512, None)):
         v4 = np.asarray(extend_pointers_sweep(
             tw, jnp.asarray(fwd), jnp.asarray(rl), jnp.asarray(pf), nt,
-            twide, chunk_positions=chp, K=K, tail_chunk=tch))
+            twd, chunk_positions=chp, K=K, tail_chunk=tch))
         for j in range(B):
             assert np.array_equal(v4[j, :rl[j]], v2[j, :rl[j]]), (chp, K, j)
             assert np.array_equal(v4[j, :rl[j]], oracle[j, :rl[j]]), \
