@@ -54,7 +54,9 @@ def main():
     from spumoni_tpu.index.format import build_dense_index
     from spumoni_tpu.engine.layered import build_layered
     from spumoni_tpu.engine.scan_engine import (
-        build_text_words, extend_pointers_sweep, query_batch_kernel_v2)
+        extend_pointers_sweep, query_batch_kernel_v2)
+
+    from spumoni_tpu.utils import device_put_chunked
 
     d = np.load(os.path.join(CACHE, "raw.npz"))
     raw = RawIndex(int(d["n"]), d["run_heads"], d["run_starts"],
@@ -62,17 +64,32 @@ def main():
     log(f"raw loaded: n={raw.n} r={raw.r}")
     text = _gen_text()
     log("text regenerated")
-    dense = build_dense_index(raw, text=text, with_samples=True)
+    # dense WITHOUT text: the 2.1 Gbp text never goes to device — slice ops
+    # on >= 2^31-element arrays fail XLA's x64 index rewrite, and only the
+    # [rows, 17]-word text_words table (element count n*17/64 < 2^31) is
+    # needed by the scan+sweep path
+    dense = build_dense_index(raw, with_samples=True)
     log("dense built")
     t0 = time.time()
     arrays, meta, host = build_layered(dense)
-    log(f"layered built + h2d ({time.time()-t0:.0f} s)")
-    nt = int(arrays.text.shape[0])
-    tw = build_text_words(arrays.text, nt)
-    np.asarray(tw.reshape(-1)[:1])
-    log(f"text_words built on device: {tw.shape} "
-        f"({tw.nbytes/1e9:.2f} GB); fields {arrays.fields.shape} "
-        f"({arrays.fields.nbytes/1e9:.2f} GB)")
+    log(f"layered built + h2d ({time.time()-t0:.0f} s); fields "
+        f"{arrays.fields.shape} ({arrays.fields.nbytes/1e9:.2f} GB)")
+
+    # text_words assembled HOST-side (numpy views), uploaded chunked
+    t0 = time.time()
+    nt = int(raw.n)
+    rows = -(-nt // 64)
+    pad = rows * 64 + 136 - len(text)
+    t_ = np.concatenate([text, np.zeros(max(pad, 0), np.uint8)])
+    words = t_[:(len(t_) // 8) * 8].view(np.uint64)
+    tw_host = np.concatenate(
+        [words[:rows * 8].reshape(rows, 8),
+         words[8:rows * 8 + 8].reshape(rows, 8),
+         words[16::8][:rows, None]], axis=1)
+    tw = device_put_chunked(tw_host)
+    del tw_host
+    log(f"text_words host-built + h2d: {tw.shape} "
+        f"({tw.nbytes/1e9:.2f} GB, {time.time()-t0:.0f} s)")
 
     reads = np.load(os.path.join(CACHE, "reads.npz"))["reads"][:B]
     rev = np.ascontiguousarray(reads[:, ::-1])

@@ -148,7 +148,14 @@ def build_layered(idx, want_samples=None, want_doc=None, want_text=None,
     # exist only when the index needs them (halves field bytes + probe cost)
     W = 8 if (want_samples or want_doc) else 4
     r = int(idx.r)
-    rp = max(2, 1 << r.bit_length())  # rows 0..r fit
+    # rows 0..r fit. Power-of-two padding buckets compile shapes across
+    # indexes, but past 2^20 rows it can waste nearly 2x the dominant HBM
+    # array (8.6 vs 4.8 GB at r = 1.5e8) — large tables pad to the next
+    # 2^20 multiple instead (same compile-cache bucketing granularity).
+    if r < (1 << 20):
+        rp = max(2, 1 << r.bit_length())
+    else:
+        rp = -(-(r + 2) // (1 << 20)) * (1 << 20)
     if group is None:
         group = FIELD_GROUP if rp > GATHER_ROW_CLIFF else 1
     if rp % group:

@@ -77,15 +77,22 @@ def jax_trace(trace_dir: str | None):
 
 
 def device_put_chunked(a, max_mb: int = 128):
-    """device_put in <=max_mb row slices + on-device concat.
+    """device_put in <=max_mb row slices, assembled on device.
 
     A single >1 GB device_put message hangs the axon TPU tunnel for ~30 min
     (PERF_NOTES.md round 2); h2d was only validated up to ~100 MB messages.
     Each slice is fenced with a tiny d2h read so at most one transfer is in
-    flight (block_until_ready does not sync through the tunnel)."""
+    flight (block_until_ready does not sync through the tunnel).
+
+    Assembly writes each slice into a DONATED zeros buffer with
+    dynamic_update_slice instead of concatenating the parts: concatenate
+    holds all parts plus the result (2x the array at peak — an OOM at
+    genome scale where a 4.7 GB fields table must coexist with the rest of
+    the index), while donation keeps the peak at full + one slice."""
     import jax
     import jax.numpy as jnp
     import numpy as np
+    from jax import lax
 
     a = np.ascontiguousarray(a)
     row_bytes = max(1, a.nbytes // max(1, a.shape[0]))
@@ -94,13 +101,32 @@ def device_put_chunked(a, max_mb: int = 128):
         out = jax.device_put(jnp.asarray(a))
         np.asarray(out.reshape(-1)[:1])
         return out
-    parts = []
-    for i in range(0, a.shape[0], step):
-        parts.append(jax.device_put(np.ascontiguousarray(a[i:i + step])))
-        np.asarray(parts[-1].reshape(-1)[:1])
-    out = jnp.concatenate(parts, axis=0)
-    np.asarray(out.reshape(-1)[:1])
-    return out
+
+    zeros_tail = tuple(np.int32(0) for _ in range(a.ndim - 1))
+    upd = jax.jit(
+        lambda b, p, i: lax.dynamic_update_slice(b, p, (i,) + zeros_tail),
+        donate_argnums=(0,))
+
+    can_fence = a.ndim >= 2 or a.shape[0] < 2**31
+
+    def fence(x):
+        # force execution so superseded buffers deallocate before the next
+        # transfer (dispatch is async; unfenced updates can stack several
+        # full-size live buffers). 1-element d2h; skipped for 1-D arrays of
+        # >= 2^31 elements, where ANY slice op fails XLA's x64 index rewrite
+        if can_fence:
+            np.asarray(x[:1].reshape(-1)[:1])
+
+    buf = jax.device_put(jnp.zeros(a.shape, a.dtype))
+    i = 0
+    while i < a.shape[0]:
+        j = min(i + step, a.shape[0])
+        part = jax.device_put(np.ascontiguousarray(a[i:j]))
+        np.asarray(part.reshape(-1)[:1])      # fence: one transfer in flight
+        buf = upd(buf, part, np.int32(i))
+        fence(buf)
+        i = j
+    return buf
 
 
 def device_array_footprint(arrays) -> dict[str, int]:
