@@ -555,6 +555,133 @@ print(len(reads) / dt / threads)
     return per_thread * BASELINE_THREADS
 
 
+def _scale_text():
+    """Regenerate the scale config's 2.1 Gbp pangenome text deterministically
+    (bit-identical to scripts/build_scale.py gen_text: same rng seed, params,
+    and draw order), so the 2.1 GB text never has to live in the cache."""
+    rng = np.random.default_rng(0)
+    acgt = np.frombuffer(b"ACGT", np.uint8)
+    strain_len = 150_000_000
+    base = rng.choice(acgt, size=strain_len)
+    parts = [base]
+    for _ in range(13):
+        c = base.copy()
+        mut = rng.random(strain_len) < 0.002
+        c[mut] = rng.choice(acgt, size=int(mut.sum()))
+        parts.append(c)
+    return np.concatenate(parts)
+
+
+def bench_tpu_ms_scale():
+    """Full MS mode (-M: pointer scan + text extension) at human-genome
+    scale — the 2.1 Gbp / r~1.9e8 index of the scale config.  Engine v2
+    (layered) runs the pointer scan (v4's block-bits rows carry no SA
+    samples) and the bulk-sweep extension compares against a host-prebuilt
+    text_words table.  HBM budget (v5e, 16 GB): fields ~6.1 GB + levels
+    ~0.8 GB + text_words ~4.5 GB; the raw text and the 256 B text_wide
+    table stay OFF device (the sweep's phase B falls back to 64 B windows,
+    scan_engine.py:558)."""
+    import jax
+    import jax.numpy as jnp
+    from spumoni_tpu.engine.layered import build_layered
+    from spumoni_tpu.engine.scan_engine import (extend_pointers_sweep,
+                                                query_batch_kernel_v2)
+    from spumoni_tpu.index.format import build_dense_index
+    from spumoni_tpu.native import RawIndex
+
+    B_ms = 65536
+    t0 = time.time()
+    text = _scale_text()
+    print(f"  text regenerated ({time.time() - t0:.0f} s)", file=sys.stderr,
+          flush=True)
+    d = np.load(os.path.join(SCALE_CACHE, "raw.npz"))
+    raw = RawIndex(int(d["n"]), d["run_heads"], d["run_starts"],
+                   d["thresholds"], d["samples_start"], d["samples_last"])
+    dense = build_dense_index(raw, text=text, with_samples=True)
+    arrays, meta, host = build_layered(dense, want_text=False)
+    print(f"  layered index resident ({time.time() - t0:.0f} s)",
+          file=sys.stderr, flush=True)
+
+    # host-built text_words (≡ scan_engine.build_text_words rows, which would
+    # transiently need ~4x the text in HBM): [rows, 17] u64, row g = text
+    # words 8g..8g+16 — one row gather = any 64-byte window
+    nt = len(text)
+    rows = -(-nt // 64)
+    t_ = np.concatenate([text, np.zeros(rows * 64 + 136 - nt, np.uint8)])
+    words = t_.view(np.uint64)
+    tw_host = np.empty((rows, 17), np.uint64)
+    tw_host[:, 0:8] = words[:rows * 8].reshape(rows, 8)
+    tw_host[:, 8:16] = words[8:rows * 8 + 8].reshape(rows, 8)
+    tw_host[:, 16] = words[16::8][:rows]
+    del t_, words
+    tw = _device_put_chunked(tw_host)
+    del tw_host
+    print(f"  text_words resident ({time.time() - t0:.0f} s)",
+          file=sys.stderr, flush=True)
+
+    reads = np.load(os.path.join(SCALE_CACHE, "reads.npz"))["reads"][:B_ms]
+    rev = np.ascontiguousarray(reads[:, ::-1])
+    alphabet = tuple(sorted(set(host.index_chars) | {0}))
+    planes = host.planes_for_alphabet(alphabet)
+    rev_d = _device_put_chunked(host.rank_map(alphabet)[rev])
+    fwd_d = jax.device_put(jnp.asarray(reads))
+    lens_d = jax.device_put(jnp.asarray(np.full((B_ms,), L, np.int32)))
+
+    def step():
+        ptrs, _, _ = query_batch_kernel_v2(arrays, rev_d, meta, "ms",
+                                           False, planes)
+        return extend_pointers_sweep(tw, fwd_d, lens_d, ptrs[:, ::-1], nt,
+                                     None)
+
+    out = step()                        # compile + warm
+    lengths = np.asarray(out)           # one-time d2h for the sanity check
+    print(f"  first step done ({time.time() - t0:.0f} s)", file=sys.stderr,
+          flush=True)
+    # mutated-substring reads must carry much longer matches than random ones
+    pos_mean = float(lengths[::2].mean())
+    neg_mean = float(lengths[1::2].mean())
+    assert pos_mean > 2 * neg_mean, (pos_mean, neg_mean)
+
+    reps, t1 = 2, time.time()
+    for _ in range(reps):
+        out = step()
+    np.asarray(out[:1])
+    dt = (time.time() - t1) / reps
+    return B_ms / dt
+
+
+def bench_cpu_ms_scale():
+    """32-thread-extrapolated CPU MS (-M) on the same 2.1 Gbp index (same
+    methodology as bench_cpu_scale; the native engine's extension reads the
+    text directly, like the reference's SLP random access)."""
+    import subprocess
+
+    n_reads = 32
+    code = f"""
+import os, sys, time
+import numpy as np
+sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})
+import bench
+from spumoni_tpu.native import NativeQueryEngine
+d = np.load(os.path.join({SCALE_CACHE!r}, "raw.npz"))
+eng = NativeQueryEngine(int(d["n"]), d["run_heads"], d["run_starts"],
+                        d["thresholds"], d["samples_start"], d["samples_last"],
+                        text=bench._scale_text())
+reads = [r.tobytes()
+         for r in np.load(os.path.join({SCALE_CACHE!r}, "reads.npz"))["reads"][:{n_reads}]]
+threads = os.cpu_count() or 1
+eng.query_ms(reads[:2], threads=threads)
+t0 = time.time()
+eng.query_ms(reads, threads=threads)
+print(len(reads) / (time.time() - t0) / threads)
+"""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out = subprocess.run([sys.executable, "-c", code], check=True,
+                         capture_output=True, text=True, env=env)
+    per_thread = float(out.stdout.strip().splitlines()[-1])
+    return per_thread * BASELINE_THREADS
+
+
 def _scale_line():
     tpu = bench_tpu_scale()
     cpu32 = bench_cpu_scale()
@@ -571,6 +698,18 @@ def main():
     if cfg == "scale":
         # BASELINE.md's ">=5x ... on a human-genome PML index" config alone
         print(json.dumps(_scale_line()))
+        return
+    if cfg == "ms_scale":
+        # full MS (-M) at human-genome scale: substantiates that the MS
+        # CPU/TPU ratio inverts at scale like PML's (PERF_NOTES round 3)
+        tpu = bench_tpu_ms_scale()
+        cpu32 = bench_cpu_ms_scale()
+        print(json.dumps({
+            "metric": "ms_full_reads_per_s_chip_human_scale",
+            "value": round(tpu, 2),
+            "unit": "reads/s (1024bp, 2.1Gbp r=1.9e8 index)",
+            "vs_baseline": round(tpu / cpu32, 3),
+        }))
         return
     if cfg == "e2e":
         raw, text, rng = get_index()

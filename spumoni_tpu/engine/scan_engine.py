@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .arrays import IndexArrays, IndexMeta
+from ..utils import encode_rows, present_chars
 
 
 def _bsearch_le(c_start, lo0, hi0, pos, iters, r):
@@ -1035,17 +1036,10 @@ class ScanEngine:
         """Runs one padded [B, L] kernel invocation (B = next power of two,
         capped by max_lanes chunks upstream)."""
         B = max(1, 1 << (len(reads) - 1).bit_length())
-        fwd = np.zeros((B, L), dtype=np.uint8)
-        rev = np.zeros((B, L), dtype=np.uint8)
-        lens = np.zeros((B,), dtype=np.int64)
-        for i, rd in enumerate(reads):
-            a = np.frombuffer(bytes(rd), dtype=np.uint8)
-            fwd[i, :len(a)] = a
-            rev[i, :len(a)] = a[::-1]
-            lens[i] = len(a)
+        fwd, rev, lens = encode_rows(reads, B, L)
         if self.bits:
             alphabet = tuple(sorted(
-                {0} | set(int(x) for x in np.unique(rev))))
+                {0} | set(int(x) for x in present_chars(rev))))
             planes = self.host.planes_for_alphabet(alphabet)
             revm = self.host.rank_map(alphabet)[rev]
             if L > self.chunk:
@@ -1064,7 +1058,7 @@ class ScanEngine:
         elif self.occ:
             from .occblock import occ_initial_state
             alphabet = tuple(sorted(
-                {0} | set(int(x) for x in np.unique(rev))))
+                {0} | set(int(x) for x in present_chars(rev))))
             planes = self.host.planes_for_alphabet(alphabet)
             revm = self.host.rank_map(alphabet)[rev]
             lag = (self.mode == "ms") or self.use_doc
@@ -1105,7 +1099,7 @@ class ScanEngine:
                 # reduced-alphabet fused lookup: rank-map reads on the host
                 alphabet = tuple(sorted(
                     set(self.host.index_chars)
-                    | set(int(x) for x in np.unique(rev)) | {0}))
+                    | set(int(x) for x in present_chars(rev)) | {0}))
                 rev = self.host.rank_map(alphabet)[rev]
                 planes = self.host.planes_for_alphabet(alphabet)
             if L > self.chunk:
@@ -1188,25 +1182,18 @@ class ScanEngine:
         from ..parallel.mesh import fused_classify_kernel
 
         B = max(1, 1 << (len(reads) - 1).bit_length())
-        fwd = np.zeros((B, L), dtype=np.uint8)
-        rev = np.zeros((B, L), dtype=np.uint8)
-        lens = np.zeros((B,), dtype=np.int64)
-        for i, rd in enumerate(reads):
-            a = np.frombuffer(bytes(rd), dtype=np.uint8)
-            fwd[i, :len(a)] = a
-            rev[i, :len(a)] = a[::-1]
-            lens[i] = len(a)
+        fwd, rev, lens = encode_rows(reads, B, L)
 
         planes = None
         if self.bits or self.occ:
             alphabet = tuple(sorted(
-                {0} | set(int(x) for x in np.unique(rev))))
+                {0} | set(int(x) for x in present_chars(rev))))
             planes = self.host.planes_for_alphabet(alphabet)
             rev = self.host.rank_map(alphabet)[rev]
         elif self.layered and self.host is not None:
             alphabet = tuple(sorted(
                 set(self.host.index_chars)
-                | set(int(x) for x in np.unique(rev)) | {0}))
+                | set(int(x) for x in present_chars(rev)) | {0}))
             rev = self.host.rank_map(alphabet)[rev]
             planes = self.host.planes_for_alphabet(alphabet)
         lens_d = jnp.asarray(lens)

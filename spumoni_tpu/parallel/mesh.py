@@ -28,6 +28,7 @@ from ..engine.arrays import IndexArrays, IndexMeta
 from ..engine.layered import LayeredArrays, make_layered_step_fn
 from ..engine.occblock import make_occ_step_fn, occ_initial_state
 from ..engine.scan_engine import make_step_fn
+from ..utils import encode_rows, present_chars
 
 
 def make_data_mesh(devices=None, axis: str = "data") -> Mesh:
@@ -224,18 +225,13 @@ class ShardedPmlClassifier:
         B = max(self.ndev, 1 << max(0, (nreads - 1)).bit_length())
         if B % self.ndev:
             B = ((B // self.ndev) + 1) * self.ndev
-        rev = np.zeros((B, L), dtype=np.uint8)
-        lens = np.zeros((B,), dtype=np.int64)
-        for i, rd in enumerate(reads):
-            a = np.frombuffer(bytes(rd), dtype=np.uint8)
-            rev[i, :len(a)] = a[::-1]
-            lens[i] = len(a)
+        _, rev, lens = encode_rows(reads, B, L, want_fwd=False)
 
         planes = None
         if self.occ:
             # occ-block reads are always query-rank mapped
             alphabet = tuple(sorted(
-                {0} | set(int(x) for x in np.unique(rev))))
+                {0} | set(int(x) for x in present_chars(rev))))
             rev = self.host.rank_map(alphabet)[rev]
             planes = replicate_index(
                 self.host.planes_for_alphabet(alphabet), self.mesh)
@@ -245,7 +241,7 @@ class ShardedPmlClassifier:
             # fused kernel below accepts planes
             alphabet = tuple(sorted(
                 set(self.host.index_chars)
-                | set(int(x) for x in np.unique(rev)) | {0}))
+                | set(int(x) for x in present_chars(rev)) | {0}))
             rev = self.host.rank_map(alphabet)[rev]
             planes = replicate_index(
                 self.host.planes_for_alphabet(alphabet), self.mesh)

@@ -41,6 +41,7 @@ _SM_CHECK_KW = ("check_vma"
 
 from ..engine.layered import F_START, LayeredArrays, LayeredMeta
 from .mesh import _fused_classify_core, replicate_index
+from ..utils import encode_rows, present_chars
 
 
 def make_tp_mesh(n_data: int, n_model: int, devices=None) -> Mesh:
@@ -143,18 +144,13 @@ class TpPmlClassifier:
         B = max(self.n_data, 1 << max(0, (nreads - 1)).bit_length())
         if B % self.n_data:
             B = ((B // self.n_data) + 1) * self.n_data
-        rev = np.zeros((B, L), dtype=np.uint8)
-        lens = np.zeros((B,), dtype=np.int64)
-        for i, rd in enumerate(reads):
-            a = np.frombuffer(bytes(rd), dtype=np.uint8)
-            rev[i, :len(a)] = a[::-1]
-            lens[i] = len(a)
+        _, rev, lens = encode_rows(reads, B, L, want_fwd=False)
 
         planes = None
         if self.host is not None:
             alphabet = tuple(sorted(
                 set(self.host.index_chars)
-                | set(int(x) for x in np.unique(rev)) | {0}))
+                | set(int(x) for x in present_chars(rev)) | {0}))
             rev = self.host.rank_map(alphabet)[rev]
             planes = replicate_index(
                 self.host.planes_for_alphabet(alphabet), self.mesh)

@@ -76,6 +76,47 @@ def jax_trace(trace_dir: str | None):
         jax.profiler.stop_trace()
 
 
+def present_chars(a):
+    """Distinct byte values present in `a`, as a small int array.
+
+    Replaces np.unique on read batches: np.unique SORTS its input (~2.8 s
+    on a 67 MB [B, L] batch — measured as THE e2e host bottleneck), while a
+    histogram is O(n) (~50 ms)."""
+    import numpy as np
+    return np.nonzero(np.bincount(a.reshape(-1), minlength=256))[0]
+
+
+def encode_rows(reads, B: int, L: int, want_fwd: bool = True):
+    """(fwd, rev, lens): [B, L] u8 lockstep rows from byte-string reads.
+
+    fwd[i] = read bytes left-aligned, rev[i] = reversed bytes left-aligned,
+    lens[i] = read length; rows past len(reads) stay zero (padding lanes).
+    Uniform-length batches — the overwhelmingly common case, since callers
+    bucket reads by padded length — take one C-speed join + reshape instead
+    of a per-read Python loop (~10x on a 65536x1024 batch)."""
+    import numpy as np
+    nr = len(reads)
+    lens = np.zeros((B,), dtype=np.int64)
+    if nr:
+        lens[:nr] = np.fromiter((len(r) for r in reads), np.int64, nr)
+    fwd = np.zeros((B, L), dtype=np.uint8) if want_fwd else None
+    rev = np.zeros((B, L), dtype=np.uint8)
+    if nr and lens[0] and (lens[:nr] == lens[0]).all():
+        l0 = int(lens[0])
+        rows = np.frombuffer(b"".join(bytes(r) for r in reads),
+                             np.uint8).reshape(nr, l0)
+        if want_fwd:
+            fwd[:nr, :l0] = rows
+        rev[:nr, :l0] = rows[:, ::-1]
+    else:
+        for i, rd in enumerate(reads):
+            a = np.frombuffer(bytes(rd), dtype=np.uint8)
+            if want_fwd:
+                fwd[i, :len(a)] = a
+            rev[i, :len(a)] = a[::-1]
+    return fwd, rev, lens
+
+
 def device_put_chunked(a, max_mb: int = 128):
     """device_put in <=max_mb row slices, assembled on device.
 
