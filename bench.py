@@ -461,7 +461,7 @@ def _device_put_chunked(a, max_mb=128):
 
 def bench_tpu_scale():
     """Human-genome-scale PML classify (BASELINE.md's stated >=5x target is
-    "on a human-genome PML index"): 2.1 Gbp / r~1.9e8 synthetic pangenome,
+    "on a human-genome PML index"): 2.1 Gbp / r~1.5e8 synthetic pangenome,
     prebuilt by scripts/build_scale.py, engine v4 over-cliff (P=512: one
     400-byte row gather per step). Index rows = 1.64 GB HBM-resident."""
     import jax
@@ -574,7 +574,7 @@ def _scale_text():
 
 def bench_tpu_ms_scale():
     """Full MS mode (-M: pointer scan + text extension) at human-genome
-    scale — the 2.1 Gbp / r~1.9e8 index of the scale config.  Engine v2
+    scale — the 2.1 Gbp / r~1.5e8 index of the scale config.  Engine v2
     (layered) runs the pointer scan (v4's block-bits rows carry no SA
     samples) and the bulk-sweep extension compares against a host-prebuilt
     text_words table.  HBM budget (v5e, 16 GB): fields ~6.1 GB + levels
@@ -688,7 +688,7 @@ def _scale_line():
     return {
         "metric": "pml_classify_reads_per_s_chip_human_scale",
         "value": round(tpu, 2),
-        "unit": "reads/s (1024bp, 2.1Gbp r=1.9e8 index)",
+        "unit": "reads/s (1024bp, 2.1Gbp r=1.5e8 index)",
         "vs_baseline": round(tpu / cpu32, 3),
     }
 
@@ -707,7 +707,7 @@ def main():
         print(json.dumps({
             "metric": "ms_full_reads_per_s_chip_human_scale",
             "value": round(tpu, 2),
-            "unit": "reads/s (1024bp, 2.1Gbp r=1.9e8 index)",
+            "unit": "reads/s (1024bp, 2.1Gbp r=1.5e8 index)",
             "vs_baseline": round(tpu / cpu32, 3),
         }))
         return

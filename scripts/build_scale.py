@@ -3,7 +3,7 @@
 ">=5x reads/s over 32-thread CPU SPUMONI on a human-genome PML index").
 
 Synthetic pangenome: 14 strains x 150 Mbp at 0.2% divergence ->
-n = 2,100,000,001 (int32-capable), r ~ 1.9e8 — human-genome scale
+n = 2,100,000,001 (int32-capable), r ~ 1.5e8 — human-genome scale
 (GRCh38 is 3.05 Gbp; r matches the judge's r ~ 1e8 north star).
 
 Caches under ~/.cache/spumoni_tpu/bench/scale/:
@@ -22,7 +22,15 @@ import time
 
 # pure host-side build: keep jax (imported transitively by spumoni_tpu) off
 # the TPU tunnel
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"   # override any ambient axon/tpu setting:
+# the cache build must NEVER touch the TPU tunnel — the old setdefault let the
+# 1.6 GB bb rows round-trip through the chip (h2d in build + d2h for the
+# save), which wedged the tunnel service for the benches that followed
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")  # the axon plugin captures the env
+# var at interpreter startup (see tests/conftest.py), so the explicit config
+# update is required as well
 
 import numpy as np
 

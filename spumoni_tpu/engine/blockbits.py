@@ -262,7 +262,8 @@ def build_blockbits(idx, P: Optional[int] = None, pack: Optional[int] = None,
         # excluded from rank by the true-count checkpoints only if absent —
         # assert the BWT has none besides the terminator (unique run heads
         # == unique BWT bytes; pad byte 0 is appended separately below)
-        assert set(np.unique(run_heads)) <= (
+        from ..utils import present_chars
+        assert set(present_chars(run_heads).tolist()) <= (
             set(code_chars.tolist()) | {TERM_BYTE})
         pad_code = 3 if len(code_chars) < 4 else term_code
         # NOTE: pad positions are never gathered for rank at offsets < off
