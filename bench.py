@@ -558,15 +558,23 @@ print(len(reads) / dt / threads)
 def _scale_text():
     """Regenerate the scale config's 2.1 Gbp pangenome text deterministically
     (bit-identical to scripts/build_scale.py gen_text: same rng seed, params,
-    and draw order), so the 2.1 GB text never has to live in the cache."""
+    and draw order), so the 2.1 GB text never has to live in the cache.
+    The generation params come from raw.npz when recorded there (cache built
+    with non-default --strains/--mbp/--div would otherwise silently mismatch
+    the regenerated text); caches from before the params were recorded fall
+    back to the defaults they were built with."""
+    n_strains, strain_len, div = 14, 150_000_000, 0.002
+    d = np.load(os.path.join(SCALE_CACHE, "raw.npz"))
+    if "gen_params" in d.files:
+        gp = d["gen_params"]
+        n_strains, strain_len, div = int(gp[0]), int(gp[1]), float(gp[2])
     rng = np.random.default_rng(0)
     acgt = np.frombuffer(b"ACGT", np.uint8)
-    strain_len = 150_000_000
     base = rng.choice(acgt, size=strain_len)
     parts = [base]
-    for _ in range(13):
+    for _ in range(n_strains - 1):
         c = base.copy()
-        mut = rng.random(strain_len) < 0.002
+        mut = rng.random(strain_len) < div
         c[mut] = rng.choice(acgt, size=int(mut.sum()))
         parts.append(c)
     return np.concatenate(parts)

@@ -130,7 +130,11 @@ def main():
         save_atomic(raw_path, n=raw.n, run_heads=raw.run_heads,
                     run_starts=raw.run_starts, thresholds=raw.thresholds,
                     samples_start=raw.samples_start,
-                    samples_last=raw.samples_last)
+                    samples_last=raw.samples_last,
+                    # generation recipe, so bench._scale_text() regenerates
+                    # the SAME text even for non-default --strains/--mbp/--div
+                    gen_params=np.asarray(
+                        [args.strains, strain_len, args.div], np.float64))
         log("raw.npz cached")
 
     bb_path = os.path.join(CACHE, "bb.npz")

@@ -1,13 +1,13 @@
 #!/usr/bin/env python
 """Interleaved A/B of the FULL fused-classify kernels, engine v2 (layered)
-vs engine v4 (block-bits), on the 2.1 Gbp / r~1.9e8 scale index.
+vs engine v4 (block-bits), on the 2.1 Gbp / r~1.5e8 scale index.
 
 Round-2 VERDICT (weak #7): the claim that over-cliff v4 still halves v2's
 step rested on an isolated gather microbenchmark (exp_vmem_gather2.py), not
 an interleaved A/B of the production kernels at genome scale. This measures
 exactly that: same reads, same chip session, alternating reps.
 
-HBM: v2 PML-only fields (r~1.9e8 x 4 slots x i32 ~ 3.1 GB) + levels
+HBM: v2 PML-only fields (r~1.5e8 x 4 slots x i32 ~ 2.4 GB) + levels
 (~0.8 GB) + v4 rows (1.64 GB) coexist under 16 GB.
 
 Run (needs the scale cache from scripts/build_scale.py):
@@ -78,7 +78,11 @@ def main():
     pl4 = h4.planes_for_alphabet(alpha4)
     rev4 = jax.device_put(jnp.asarray(h4.rank_map(alpha4)[rev]))
 
-    rp2 = int(np.asarray(a2.fields).shape[0]) * m2.group
+    # shape only — np.asarray would d2h-copy the multi-GB fields table
+    # through the tunnel (the exact hang utils.device_put_chunked guards
+    # against). No * m2.group: production passes fields.shape[0]
+    # (scan_engine.py) and the layered step ignores r anyway.
+    rp2 = int(a2.fields.shape[0])
     rp4 = int(a4.bblocks.shape[0])
 
     def step2():

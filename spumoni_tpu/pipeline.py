@@ -430,6 +430,15 @@ class RunConfig:
             if self.ks_report:
                 raise ValueError("--report-only is bin-max only (the KS "
                                  "statistic needs the full value vectors)")
+            if self.use_doc:
+                # doc_numbers is a per-position VALUE file
+                # (compute_ms_pml.cpp:853-860) — emitting it would defeat
+                # --report-only's contract (only O(B) verdicts leave the
+                # device). Reject instead of silently dropping the output
+                # the user asked for.
+                raise ValueError("--report-only cannot produce .doc_numbers "
+                                 "(-d writes per-position value files); run "
+                                 "without --report-only for doc output")
 
 
 def _make_engine(cfg: RunConfig, dense: DenseIndex, index_path=None):

@@ -111,6 +111,9 @@ def encode_rows(reads, B: int, L: int, want_fwd: bool = True):
     else:
         for i, rd in enumerate(reads):
             a = np.frombuffer(bytes(rd), dtype=np.uint8)
+            lens[i] = len(a)  # byte count, not element count: a non-uint8
+            #                   array input must record its BYTE length so
+            #                   lens stays consistent with the written rows
             if want_fwd:
                 fwd[i, :len(a)] = a
             rev[i, :len(a)] = a[::-1]

@@ -287,3 +287,9 @@ def test_report_only_validation(tmp_path):
         RunConfig(ref_file="x", pattern_file=pat, pml_requested=True,
                   min_digest=False, write_report=True, ks_report=True,
                   report_only=True).validate()
+    with pytest.raises(ValueError, match="doc_numbers"):
+        # -d writes per-position value files (compute_ms_pml.cpp:853-860);
+        # the fused path must REJECT rather than silently omit them
+        RunConfig(ref_file="x", pattern_file=pat, pml_requested=True,
+                  min_digest=False, write_report=True, use_doc=True,
+                  report_only=True).validate()
