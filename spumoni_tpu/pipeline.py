@@ -795,18 +795,61 @@ def run(cfg: RunConfig) -> int:
         except BaseException as e:  # surfaced after join
             wstate["err"] = e
 
+    # array-native fast path: vectorized chunk parsing + whole-batch
+    # digestion + staged h2d run in the PREFETCH thread, so only kernel
+    # launches sit on this thread (the per-read Python prep loop below
+    # capped file->report at ~13k reads/s vs the ~258k kernel)
+    use_fast = (cfg.device != "cpu" and P == 1 and not cfg.ks_report
+                and hasattr(engine, "stage"))
+
+    def staged_batches():
+        from .io.fastx_batch import (PackedReads, iter_packed_batches,
+                                     upper_packed)
+        from .io.minimizers import digest_packed
+
+        seen = 0
+        max_lanes = 65536 if cfg.report_only else 8192
+        for pk in iter_packed_batches(cfg.pattern_file, cfg.batch_bases):
+            npk = len(pk)
+            if seen + npk <= skip:       # resume: skip whole batches
+                seen += npk
+                continue
+            if seen < skip:              # resume: partial batch
+                a = skip - seen
+                pk = PackedReads(pk.ids[a:],
+                                 pk.buf[pk.offs[a]:].copy(),
+                                 (pk.offs[a:] - pk.offs[a]).copy())
+            seen += npk
+            pk = upper_packed(pk)
+            if cfg.min_digest:
+                pk = digest_packed(pk, cfg.use_promotions,
+                                   cfg.use_dna_letters, cfg.k, cfg.w)
+            yield pk.ids, engine.stage(pk, max_lanes), pk.total_bases
+
     wthread = threading.Thread(target=_writer, daemon=True)
     wthread.start()
-    for ids, reads, bases in _prefetched(
-            (prepare(b) for b in batch_iter(my_records(), cfg.batch_bases))):
-        total_bases += bases
-        if cfg.report_only:
-            out = engine.classify(reads, cfg.bin_size, thr)
-        else:
-            out = engine.query(reads)
-        if wstate["err"] is not None:
-            break
-        wq.put((ids, out))
+    if use_fast:
+        for ids, staged, bases in _prefetched(staged_batches()):
+            total_bases += bases
+            if cfg.report_only:
+                out = engine.classify_staged(staged, cfg.bin_size, thr)
+            else:
+                out = engine.query_staged(staged)
+            if wstate["err"] is not None:
+                break
+            wq.put((ids, out))
+    else:
+        for ids, reads, bases in _prefetched(
+                (prepare(b) for b in batch_iter(my_records(),
+                                                cfg.batch_bases))):
+            total_bases += bases
+            if cfg.report_only:
+                out = engine.classify(reads, cfg.bin_size, thr)
+            else:
+                out = engine.query(reads)
+            if wstate["err"] is not None:
+                break
+            wq.put((ids, out))
     wq.put(None)
     wthread.join()
     if wstate["err"] is not None:
