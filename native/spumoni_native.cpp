@@ -1314,4 +1314,126 @@ i64 spn_format_values(const i64* v, i64 n, char* out) {
     return (i64)(p - out);
 }
 
+// ---------------------------------------------------------------------------
+// Streaming-side prep: FASTA/FASTQ chunk extraction + lockstep row packing.
+// The host feed of the production run (the reference's BatchLoader +
+// per-read toupper loop, batch_loader.cpp:26-76 / compute_ms_pml.cpp:917) —
+// one C pass per chunk instead of ~10 numpy passes (the host prep capped
+// file->report throughput; see PERF_NOTES round 4).
+// ---------------------------------------------------------------------------
+
+// Parses one chunk of COMPLETE newline-terminated records. Outputs:
+//   seq     concatenated UPPER-CASED sequence bytes (caller: >= n bytes)
+//   offs    per-read seq offsets, offs[0] = 0 (caller: >= n/4 + 2 entries)
+//   idpos   (start, end) byte ranges of each read id inside `data`, with
+//           BatchLoader's exact id semantics incl. the off-by-one keeping
+//           ONE delimiter char (batch_loader.cpp:104-106)
+// Returns the number of reads, or -1 on malformed input.
+i64 spn_fastx_extract(const u8* data, i64 n, int fastq, int do_upper,
+                      u8* seq, i64* offs, i64* idpos) {
+    u8 tab[256];
+    for (int i = 0; i < 256; ++i)
+        tab[i] = (u8)((do_upper && i >= 'a' && i <= 'z') ? i - 32 : i);
+    i64 nr = 0, so = 0, i = 0;
+    offs[0] = 0;
+    auto id_range = [&](i64 hstart, i64 hend) {
+        // line = marker + header; first of " \t\r" at j >= 1 keeps one char
+        i64 a = hstart, e = hend;
+        i64 j = e;
+        for (i64 k = a; k < e; ++k) {
+            u8 c = data[k];
+            if (c == ' ' || c == '\t' || c == '\r') { j = k + 1; break; }
+        }
+        idpos[2 * nr] = a;
+        idpos[2 * nr + 1] = j < e ? j : e;
+    };
+    if (fastq) {
+        while (i < n) {
+            if (data[i] == '\n') { ++i; continue; }   // defensive blank lines
+            if (data[i] != '@') return -1;
+            i64 hs = i + 1;
+            while (i < n && data[i] != '\n') ++i;
+            i64 he = i; if (he > hs && data[he - 1] == '\r') --he;
+            id_range(hs, he);
+            ++i;                                      // sequence line
+            offs[nr + 1] = offs[nr];
+            while (i < n && data[i] != '\n') {
+                u8 c = data[i++];
+                if (c != '\r') { seq[so++] = tab[c]; ++offs[nr + 1]; }
+            }
+            ++i;
+            if (i >= n || data[i] != '+') return -1;  // '+' line
+            while (i < n && data[i] != '\n') ++i;
+            ++i;                                      // quality line
+            while (i < n && data[i] != '\n') ++i;
+            ++i;
+            ++nr;
+        }
+        return nr;
+    }
+    while (i < n) {
+        if (data[i] == '\n') { ++i; continue; }
+        if (data[i] != '>') return -1;
+        i64 hs = i + 1;
+        while (i < n && data[i] != '\n') ++i;
+        i64 he = i; if (he > hs && data[he - 1] == '\r') --he;
+        id_range(hs, he);
+        ++i;
+        offs[nr + 1] = offs[nr];
+        while (i < n && data[i] != '>') {             // multi-line sequence
+            u8 c = data[i++];
+            if (c != '\n' && c != '\r') { seq[so++] = tab[c]; ++offs[nr + 1]; }
+        }
+        ++nr;
+    }
+    return nr;
+}
+
+// Packs selected CSR reads into [B, L] lockstep rows: optional reversal
+// (folded into the copy direction), byte->rank mapping via `amap` (256
+// entries; 255 = uncovered byte), optional 4-bit nibble packing (out is
+// then [B, L/2]). Rows past nsel stay zero (caller zeroes `out`).
+// Returns 0, or 1 if any byte mapped to 255 (caller extends the alphabet
+// and retries).
+int spn_pack_rows(const u8* buf, const i64* starts, const i64* ends,
+                  i64 nsel, i64 L, const u8* amap, int reverse, int nibble,
+                  u8* out, int threads) {
+    std::atomic<int> miss{0};
+    i64 rowbytes = nibble ? L / 2 : L;
+    auto work = [&](i64 lo, i64 hi) {
+        int local_miss = 0;
+        for (i64 r = lo; r < hi; ++r) {
+            const u8* p = buf + starts[r];
+            i64 m = ends[r] - starts[r];
+            u8* row = out + r * rowbytes;
+            if (nibble) {
+                for (i64 j = 0; j < m; ++j) {
+                    u8 v = amap[p[reverse ? m - 1 - j : j]];
+                    local_miss |= v == 255;
+                    row[j >> 1] |= (u8)((v & 15) << ((j & 1) << 2));
+                }
+            } else {
+                for (i64 j = 0; j < m; ++j) {
+                    u8 v = amap[p[reverse ? m - 1 - j : j]];
+                    local_miss |= v == 255;
+                    row[j] = v;
+                }
+            }
+        }
+        if (local_miss) miss.store(1);
+    };
+    if (threads <= 1 || nsel < 256) {
+        work(0, nsel);
+    } else {
+        std::vector<std::thread> pool;
+        i64 per = (nsel + threads - 1) / threads;
+        for (int t = 0; t < threads; ++t) {
+            i64 lo = t * per, hi = std::min(nsel, lo + per);
+            if (lo < hi) pool.emplace_back(work, lo, hi);
+        }
+        for (auto& th : pool) th.join();
+    }
+    return miss.load();
+}
+
 }  // extern "C"

@@ -16,6 +16,7 @@ on the host.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -23,6 +24,8 @@ import numpy as np
 
 from .arrays import IndexArrays, IndexMeta
 from ..utils import encode_rows, present_chars
+
+_IDENT_AMAP = np.arange(256, dtype=np.uint8)  # raw-byte staging (no host)
 
 
 def _bsearch_le(c_start, lo0, hi0, pos, iters, r):
@@ -963,6 +966,46 @@ def _flip_to_forward(vals_rev, lens):
 
 
 @jax.jit
+def _flip_rows(x, lens):
+    """Fast per-lane reversal of the first lens[i] columns: full column
+    reverse + a log2(L)-step butterfly LEFT-shift by (L - lens) per lane.
+    take_along_axis lowers to a per-element gather on TPU (measured 0.84 s
+    on a [65536, 1024] u8 flip — 4x the whole classify kernel); the
+    butterfly is ~10 predicated selects at HBM bandwidth. Columns past
+    lens[i] come out ZERO (the pad shifts zeros in), matching encode_rows
+    padding."""
+    B, L = x.shape
+    y = x[:, ::-1]
+    sh = (L - lens).astype(jnp.int32)
+    s = 1
+    while s < L:
+        take = ((sh & s) != 0)[:, None]
+        y = jnp.where(take, jnp.pad(y, ((0, 0), (0, s)))[:, s:], y)
+        s *= 2
+    return y
+
+
+@jax.jit
+def _unpack4(xp):
+    """[B, H] u8 of packed 4-bit codes -> [B, 2H] u8 (lo nibble first)."""
+    lo = xp & jnp.uint8(15)
+    hi = xp >> jnp.uint8(4)
+    B, H = xp.shape
+    return jnp.stack([lo, hi], axis=2).reshape(B, 2 * H)
+
+
+@functools.partial(jax.jit, static_argnames=("alpha",))
+def _decode_alpha(codes, alpha: tuple):
+    """Alphabet-rank codes -> raw bytes via predicated selects (a 256-LUT
+    gather would be per-element on TPU)."""
+    out = jnp.zeros(codes.shape, jnp.uint8)
+    for i, byte in enumerate(alpha):
+        if byte:
+            out = jnp.where(codes == i, jnp.uint8(byte), out)
+    return out
+
+
+@jax.jit
 def _anomalous_mask(ptrs_fwd, lens):
     """Lanes with any in-read pointer <= 0 (reset / unsigned underflow):
     they take the sequential-carry extension fallback."""
@@ -1010,6 +1053,21 @@ class ScanEngine:
         self._text_wide = None   # 256 B-window table (extension phase 2)
         self._stage_alpha = None  # staged path: cached (growing) alphabet
         self._stage_amap = None   # 256-byte LUT for it (255 = uncovered)
+        self.mesh = None          # data-parallel mesh (to_mesh)
+
+    def to_mesh(self, mesh) -> "ScanEngine":
+        """Makes this engine data-parallel over `mesh`'s 'data' axis: the
+        index arrays are replicated across the devices and staged read
+        batches are placed with a 'data'-sharded NamedSharding — the
+        already-jitted kernels then run sharded via GSPMD propagation (the
+        pattern certified by dryrun_multichip / ShardedPmlClassifier for
+        every mode incl. MS + doc). The TPU-native analog of the reference's
+        OpenMP threads over read batches (compute_ms_pml.cpp:894,1082)."""
+        from ..parallel.mesh import replicate_index
+
+        self.mesh = mesh
+        self.arrays = replicate_index(self.arrays, mesh)
+        return self
 
     def _bucket_L(self, m: int) -> int:
         L = self.pad_to
@@ -1224,7 +1282,7 @@ class ScanEngine:
                 self.r)[0]
         dt = ptrs_rev.dtype
         lens_dt = lens_d.astype(dt)
-        ptrs_fwd_d = _flip_to_forward(ptrs_rev, lens_dt)
+        ptrs_fwd_d = _flip_rows(ptrs_rev, lens_dt)
         if self._text_words is None:
             self._text_words = build_text_words(self.arrays.text, self.nt)
             self._text_wide = build_text_wide(self.arrays.text, self.nt)
@@ -1334,28 +1392,33 @@ class ScanEngine:
     # the per-read Python prep capped file->report at ~13k reads/s)
     # ------------------------------------------------------------------
 
-    def _rank_for_stage(self, mat: np.ndarray) -> np.ndarray:
-        """Rank-maps a natural-order [B, L] byte matrix with a CACHED,
-        monotonically growing alphabet: one LUT pass per batch instead of a
-        full bincount (alphabet detection) per batch. Uncovered bytes hit
-        sentinel 255 and trigger an exact recompute + alphabet extension —
-        a SUPERSET alphabet is always correct (extra ranks carry their own
+    def _ensure_alpha(self):
+        """Seeds the staged path's CACHED, monotonically growing alphabet.
+        A SUPERSET alphabet is always correct (extra ranks carry their own
         cnt/F; absent chars simply never occur), so the alphabet only grows
-        and kernel plane shapes stay stable across batches."""
+        and kernel plane shapes stay stable across batches — one LUT pass
+        per batch instead of a full bincount (alphabet detection)."""
         if self._stage_alpha is None:
             seed = ({0} | set(b"ACGTN")
                     | set(int(c) for c in self.host.index_chars))
             self._stage_alpha = tuple(sorted(seed))
             self._stage_amap = self._build_amap255(self._stage_alpha)
+
+    def _extend_alpha(self, present):
+        alpha = tuple(sorted(set(self._stage_alpha)
+                             | set(int(x) for x in present)))
+        if len(alpha) >= 255:
+            raise ValueError("alphabet too large for the staged path")
+        self._stage_alpha = alpha
+        self._stage_amap = self._build_amap255(alpha)
+
+    def _rank_for_stage(self, mat: np.ndarray) -> np.ndarray:
+        """Rank-maps a [B, L] byte matrix with the cached alphabet; bytes
+        hitting sentinel 255 trigger an exact recompute + extension."""
+        self._ensure_alpha()
         mapped = self._stage_amap[mat]
         if (mapped == 255).any():
-            present = present_chars(mat)
-            alpha = tuple(sorted(set(self._stage_alpha)
-                                 | set(int(x) for x in present)))
-            if len(alpha) >= 255:
-                raise ValueError("alphabet too large for the staged path")
-            self._stage_alpha = alpha
-            self._stage_amap = self._build_amap255(alpha)
+            self._extend_alpha(present_chars(mat))
             mapped = self._stage_amap[mat]
         return mapped
 
@@ -1404,29 +1467,98 @@ class ScanEngine:
             for c0 in range(0, len(idxs), max_lanes):
                 sel = idxs[c0:c0 + max_lanes]
                 B = max(1, 1 << (len(sel) - 1).bit_length())
-                fwd = _pack_rows(buf, offs, sel, B, L)
+                if self.mesh is not None:
+                    nd = int(self.mesh.devices.size)
+                    B = max(B, nd)
+                    if B % nd:
+                        B = (B // nd + 1) * nd
                 lens = np.zeros((B,), np.int64)
                 lens[:len(sel)] = lens_all[sel]
+                if self.host is not None:
+                    self._ensure_alpha()
+                # 4-bit nibble packing halves the h2d bill (the axon tunnel
+                # runs as low as ~30 MB/s; reads are the dominant transfer
+                # of a report-only run) whenever the alphabet fits a nibble
+                use_native = os.environ.get("SPN_PY_PACK") != "1"
+                starts, ends_ = offs[sel], offs[sel + 1]
+                if use_native:
+                    from ..native import pack_rows_native
+                    for _attempt in range(2):
+                        amap = (self._stage_amap if self.host is not None
+                                else _IDENT_AMAP)
+                        packed = (self.host is not None
+                                  and len(self._stage_alpha) <= 16)
+                        revm, miss = pack_rows_native(
+                            buf, starts, ends_, B, L, amap, True, packed)
+                        if not miss or self.host is None:
+                            break
+                        self._extend_alpha(present_chars(buf))
+                else:
+                    rev = _pack_rows(buf, offs, sel, B, L, reverse=True)
+                    revm = (self._rank_for_stage(rev)
+                            if self.host is not None else rev)
+                    packed = (self.host is not None
+                              and len(self._stage_alpha) <= 16)
+                    if packed:
+                        revm = _nibble_pack(revm)
                 planes = None
                 if self.host is not None:
-                    fwdm = self._rank_for_stage(fwd)
                     planes = self.host.planes_for_alphabet(self._stage_alpha)
-                else:
-                    fwdm = fwd
+                    if self.mesh is not None:
+                        from ..parallel.mesh import replicate_index
+                        planes = replicate_index(planes, self.mesh)
                 g = {"long": False, "L": L, "idxs": sel, "lens": lens,
-                     "planes": planes,
-                     "fwdm_d": jax.device_put(jnp.asarray(fwdm)),
-                     "lens_d": jax.device_put(jnp.asarray(lens))}
+                     "planes": planes, "packed": packed,
+                     "alpha": self._stage_alpha,
+                     "revm_d": self._put2(revm),
+                     "lens_d": self._put1(lens)}
                 if want_fwd_raw:
-                    g["fwd_d"] = jax.device_put(jnp.asarray(fwd))
+                    if use_native:
+                        fmat, _ = pack_rows_native(
+                            buf, starts, ends_, B, L,
+                            amap if packed else _IDENT_AMAP, False, packed)
+                    else:
+                        fmat = _pack_rows(buf, offs, sel, B, L)
+                        if packed:
+                            fmat = _nibble_pack(self._stage_amap[fmat])
+                    g["fwdc_d" if packed else "fwd_d"] = self._put2(fmat)
                 groups.append(g)
         return groups
+
+    def _rev_d(self, g):
+        """Device [B, L] rank-mapped reversed rows for a staged group."""
+        return _unpack4(g["revm_d"]) if g["packed"] else g["revm_d"]
+
+    def _fwd_d(self, g):
+        """Device [B, L] RAW natural-order rows (MS extension input)."""
+        if g["packed"]:
+            return _decode_alpha(_unpack4(g["fwdc_d"]), g["alpha"])
+        return g["fwd_d"]
+
+    def _put2(self, a):
+        """Batch [B, L] placement: 'data'-sharded rows under a mesh."""
+        import jax
+
+        if self.mesh is None:
+            return jax.device_put(jnp.asarray(a))
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return jax.device_put(jnp.asarray(a),
+                              NamedSharding(self.mesh, P("data", None)))
+
+    def _put1(self, a):
+        import jax
+
+        if self.mesh is None:
+            return jax.device_put(jnp.asarray(a))
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return jax.device_put(jnp.asarray(a),
+                              NamedSharding(self.mesh, P("data")))
 
     def classify_staged(self, staged, bin_width: int, max_value_thr: int):
         """classify() over staged groups (device-resident inputs): per-read
         (found, above, below, sum_maxes) in the original batch order."""
         from ..classify import binmax
-        from ..parallel.mesh import fused_classify_fwd_kernel
+        from ..parallel.mesh import fused_classify_kernel
 
         assert not self.use_doc, "report-only classification is doc-free"
         n = sum(len(g["idxs"]) for g in staged)
@@ -1447,8 +1579,8 @@ class ScanEngine:
                 continue
             nsel = len(g["idxs"])
             if self.mode == "pml":
-                f, a, b, s = fused_classify_fwd_kernel(
-                    self.arrays, g["fwdm_d"], g["lens_d"], max_value_thr,
+                f, a, b, s = fused_classify_kernel(
+                    self.arrays, self._rev_d(g), g["lens_d"], max_value_thr,
                     self.meta, "pml", self.r, bin_width, g["planes"])
                 f, a, b, s = (np.asarray(f), np.asarray(a), np.asarray(b),
                               np.asarray(s))
@@ -1460,10 +1592,6 @@ class ScanEngine:
             out["below"][g["idxs"]] = b[:nsel]
             out["sum_maxes"][g["idxs"]] = s[:nsel]
         return out
-
-    def _rev_dev(self, g):
-        """Device-side reversal of the rank-mapped natural-order rows."""
-        return _flip_to_forward(g["fwdm_d"], g["lens_d"])
 
     def _scan_ptrs_dev(self, rev_d, planes, use_doc=False):
         if self.bits:
@@ -1483,6 +1611,11 @@ class ScanEngine:
         if self._text_words is None:
             self._text_words = build_text_words(self.arrays.text, self.nt)
             self._text_wide = build_text_wide(self.arrays.text, self.nt)
+            if self.mesh is not None:
+                from ..parallel.mesh import replicate_index
+                self._text_words = replicate_index(self._text_words,
+                                                   self.mesh)
+                self._text_wide = replicate_index(self._text_wide, self.mesh)
 
     def _classify_ms_dev(self, g, L, bin_width, thr):
         """MS classify for one staged group: scan -> on-device extension ->
@@ -1490,14 +1623,15 @@ class ScanEngine:
         fwd rows already device-resident)."""
         if self.arrays.text is None:
             raise ValueError("MS classification requires an index with text")
-        rev_d = self._rev_dev(g)
+        rev_d = self._rev_d(g)
+        fwd_d = self._fwd_d(g)
         ptrs_rev = self._scan_ptrs_dev(rev_d, g["planes"])[0]
         dt = ptrs_rev.dtype
         lens_dt = g["lens_d"].astype(dt)
-        ptrs_fwd_d = _flip_to_forward(ptrs_rev, lens_dt)
+        ptrs_fwd_d = _flip_rows(ptrs_rev, lens_dt)
         self._ensure_text_words()
         lens_mat = extend_pointers_sweep(
-            self._text_words, g["fwd_d"], lens_dt, ptrs_fwd_d, self.nt,
+            self._text_words, fwd_d, lens_dt, ptrs_fwd_d, self.nt,
             self._text_wide)
         max_bins = max(1, -(-L // bin_width))
         found, above, below, summ = binmax_values_kernel(
@@ -1509,7 +1643,7 @@ class ScanEngine:
         if len(anom):
             sel = jnp.asarray(anom.astype(np.int32))
             sub_mat = extend_pointers_kernel(
-                self.arrays.text, jnp.take(g["fwd_d"], sel, axis=0),
+                self.arrays.text, jnp.take(fwd_d, sel, axis=0),
                 jnp.take(lens_dt, sel), jnp.take(ptrs_fwd_d, sel, axis=0),
                 self.nt)
             f2, a2, b2, s2 = binmax_values_kernel(
@@ -1548,7 +1682,7 @@ class ScanEngine:
         L = g["L"]
         lens = g["lens"]
         nsel = len(g["idxs"])
-        rev_d = self._rev_dev(g)
+        rev_d = self._rev_d(g)
         vals, docs = self._scan_ptrs_dev(rev_d, g["planes"],
                                          self.use_doc)[:2]
         vals_np = self._fetch(vals, L)
@@ -1562,17 +1696,18 @@ class ScanEngine:
             if self.arrays.text is not None:
                 dt = vals.dtype
                 lens_dt = g["lens_d"].astype(dt)
-                ptrs_fwd_d = _flip_to_forward(vals, lens_dt)
+                fwd_d = self._fwd_d(g)
+                ptrs_fwd_d = _flip_rows(vals, lens_dt)
                 self._ensure_text_words()
                 lens_mat = np.array(extend_pointers_sweep(
-                    self._text_words, g["fwd_d"], lens_dt, ptrs_fwd_d,
+                    self._text_words, fwd_d, lens_dt, ptrs_fwd_d,
                     self.nt, self._text_wide))
                 anom = np.nonzero(np.asarray(
                     _anomalous_mask(ptrs_fwd_d, lens_dt))[:nsel])[0]
                 if len(anom):
                     sel = jnp.asarray(anom.astype(np.int32))
                     sub = np.asarray(extend_pointers_kernel(
-                        self.arrays.text, jnp.take(g["fwd_d"], sel, axis=0),
+                        self.arrays.text, jnp.take(fwd_d, sel, axis=0),
                         jnp.take(lens_dt, sel),
                         jnp.take(ptrs_fwd_d, sel, axis=0), self.nt))
                     for j, i in enumerate(anom):
@@ -1584,12 +1719,40 @@ class ScanEngine:
         return out
 
 
+def _nibble_pack(m: np.ndarray) -> np.ndarray:
+    """[B, L] u8 codes < 16 -> [B, L/2] packed nibbles (lo nibble first)."""
+    return (m[:, 0::2] | (m[:, 1::2] << 4)).astype(np.uint8)
+
+
+def _seg_expand(vals: np.ndarray, lens: np.ndarray,
+                total: int) -> np.ndarray:
+    """np.repeat(vals, lens) for large outputs, as a difference scatter +
+    cumsum: this numpy's np.repeat runs ~50x slower than memory bandwidth
+    past ~1e7 elements (6.5 s for a 67M-element repeat). Zero-length
+    segments collide on the same scatter position; add.at accumulates
+    their deltas so the cumsum skips them correctly."""
+    out = np.zeros(total, np.int64)
+    if len(vals) == 0 or total == 0:
+        return out
+    v = vals.astype(np.int64)
+    dv = np.empty(len(v), np.int64)
+    dv[0] = v[0]
+    dv[1:] = v[1:] - v[:-1]
+    seg = np.cumsum(lens) - lens
+    np.add.at(out, seg[seg < total], dv[seg < total])
+    return np.cumsum(out)
+
+
 def _pack_rows(buf: np.ndarray, offs: np.ndarray, sel: np.ndarray,
-               B: int, L: int) -> np.ndarray:
-    """[B, L] natural-order padded rows for the selected reads of a CSR
-    batch — whole-array gathers, no per-read Python. Uniform-length
-    selections (the common bucketed case) take one 2-D fancy gather; mixed
-    lengths use a CSR scatter."""
+               B: int, L: int, reverse: bool = False) -> np.ndarray:
+    """[B, L] left-aligned padded rows for the selected reads of a CSR
+    batch — whole-array gathers, no per-read Python. With reverse=True the
+    rows come out REVERSED (the scan kernels' input order) at the same
+    cost: the reversal folds into the gather index arithmetic, so no
+    device-side flip (an expensive per-element gather on TPU) and no
+    second host pass is ever needed. Uniform-length selections (the common
+    bucketed case) take one 2-D fancy gather; mixed lengths use a CSR
+    scatter."""
     mat = np.zeros((B, L), np.uint8)
     if len(sel) == 0:
         return mat
@@ -1597,12 +1760,17 @@ def _pack_rows(buf: np.ndarray, offs: np.ndarray, sel: np.ndarray,
     lens = offs[sel + 1] - starts
     l0 = int(lens[0])
     if l0 and (lens == l0).all():
-        pos = starts[:, None] + np.arange(l0)
+        cols = np.arange(l0 - 1, -1, -1) if reverse else np.arange(l0)
+        pos = starts[:, None] + cols
         mat[:len(sel), :l0] = buf[pos]
         return mat
     total = int(lens.sum())
-    row = np.repeat(np.arange(len(sel)), lens)
-    first = np.repeat(np.cumsum(lens) - lens, lens)
+    row = _seg_expand(np.arange(len(sel)), lens, total)
+    first = _seg_expand(np.cumsum(lens) - lens, lens, total)
     col = np.arange(total) - first
-    mat[row, col] = buf[np.repeat(starts, lens) + col]
+    if reverse:
+        src = _seg_expand(starts + lens - 1, lens, total) - col
+    else:
+        src = _seg_expand(starts, lens, total) + col
+    mat[row, col] = buf[src]
     return mat

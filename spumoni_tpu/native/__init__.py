@@ -113,8 +113,54 @@ def get_lib() -> ctypes.CDLL:
             lib.spn_lcp_dbg_len.argtypes = [ctypes.c_void_p]
             lib.spn_get_lcp_dbg.restype = None
             lib.spn_get_lcp_dbg.argtypes = [ctypes.c_void_p, p_i64]
+            lib.spn_fastx_extract.restype = c_i64
+            lib.spn_fastx_extract.argtypes = [p_u8, c_i64, ctypes.c_int,
+                                              ctypes.c_int, p_u8, p_i64,
+                                              p_i64]
+            lib.spn_pack_rows.restype = ctypes.c_int
+            lib.spn_pack_rows.argtypes = [p_u8, p_i64, p_i64, c_i64, c_i64,
+                                          p_u8, ctypes.c_int, ctypes.c_int,
+                                          p_u8, ctypes.c_int]
             _lib = lib
     return _lib
+
+
+def fastx_extract(data: np.ndarray, fastq: bool, upper: bool = False):
+    """One-pass native parse of a chunk of complete FASTX records: returns
+    (seq_bytes, offs, idpos) — see spn_fastx_extract. upper folds the
+    per-read toupper of the classify loop (compute_ms_pml.cpp:917) into the
+    same pass."""
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    n = len(data)
+    seq = np.empty(n, dtype=np.uint8)
+    offs = np.empty(n // 4 + 2, dtype=np.int64)
+    idpos = np.empty(n // 2 + 2, dtype=np.int64)
+    nr = get_lib().spn_fastx_extract(_p_u8(data), n, int(fastq), int(upper),
+                                     _p_u8(seq), _p_i64(offs), _p_i64(idpos))
+    if nr < 0:
+        raise ValueError("malformed FASTA/FASTQ chunk")
+    offs = offs[:nr + 1]
+    return seq[:offs[-1]].copy(), offs.copy(), idpos[:2 * nr].copy()
+
+
+def pack_rows_native(buf: np.ndarray, starts: np.ndarray, ends: np.ndarray,
+                     B: int, L: int, amap: np.ndarray, reverse: bool,
+                     nibble: bool, threads: int = 0) -> tuple:
+    """[B, L] (or [B, L/2] nibble-packed) optionally-reversed rank-mapped
+    rows for the reads at buf[starts[r]:ends[r]]; returns
+    (matrix, miss_flag) — miss means a byte mapped to amap sentinel 255."""
+    nsel = len(starts)
+    rowbytes = L // 2 if nibble else L
+    out = np.zeros((B, rowbytes), dtype=np.uint8)
+    if threads <= 0:
+        threads = os.cpu_count() or 1
+    miss = get_lib().spn_pack_rows(
+        _p_u8(np.ascontiguousarray(buf)),
+        _p_i64(np.ascontiguousarray(starts)),
+        _p_i64(np.ascontiguousarray(ends)),
+        nsel, L, _p_u8(np.ascontiguousarray(amap)), int(reverse),
+        int(nibble), _p_u8(out), threads)
+    return out, bool(miss)
 
 
 def _p_u8(a: np.ndarray):

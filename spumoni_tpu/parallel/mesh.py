@@ -140,24 +140,6 @@ def fused_classify_kernel(ix, reads_rev, lens, max_value_thr, meta,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("meta", "mode", "r", "bin_width"))
-def fused_classify_fwd_kernel(ix, reads_fwd, lens, max_value_thr, meta,
-                              mode: str, r: int, bin_width: int, planes=None):
-    """fused_classify_kernel on NATURAL-order rows: the per-lane reversal
-    runs on device (one [B, L] take_along_axis, ~1 ms at B=64k) so the host
-    staging path (ScanEngine.stage) never materializes a reversed copy.
-    Padding columns (p >= lens) receive a clamped duplicate of row byte 0 —
-    harmless: they scan as inactive steps (fused bin stats mask on lens) and
-    emit nothing that is kept."""
-    B, L = reads_fwd.shape
-    p = jnp.arange(L, dtype=jnp.int32)
-    idx = jnp.clip(lens.astype(jnp.int32)[:, None] - 1 - p[None, :], 0, L - 1)
-    rev = jnp.take_along_axis(reads_fwd, idx, axis=1)
-    return _fused_classify_core(ix, rev, lens, max_value_thr, meta, mode, r,
-                                bin_width, planes)
-
-
-@functools.partial(
     jax.jit,
     static_argnames=("meta", "mode", "use_doc", "r", "bin_width", "max_bins"))
 def sharded_classify_kernel(ix: IndexArrays, reads_rev, lens, max_value_thr,

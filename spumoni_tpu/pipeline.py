@@ -515,37 +515,6 @@ def _make_engine(cfg: RunConfig, dense: DenseIndex, index_path=None):
     return ScanEngine(arrays, meta, mode=cfg.mode, use_doc=cfg.use_doc, host=host)
 
 
-class _ShardedEngine:
-    """One process drives ALL local devices: pipeline adapter around
-    ShardedPmlClassifier (reads sharded over the 'data' mesh axis, index
-    replicated — the certified mesh path becomes the production path).
-    PML without doc tracking; long-read buckets (beyond the chunked-state
-    kernel width) fall back to the single-device engine."""
-
-    def __init__(self, inner, bin_width: int, max_value_thr: int):
-        from .parallel.mesh import ShardedPmlClassifier, make_data_mesh
-
-        self.inner = inner
-        self.arrays = inner.arrays  # for HBM footprint logging
-        self.spc = ShardedPmlClassifier(
-            inner.arrays, inner.meta, make_data_mesh(), bin_width,
-            max_value_thr, host=inner.host)
-
-    def _long(self, reads) -> bool:
-        return max((len(r) for r in reads), default=1) > self.inner.chunk
-
-    def query(self, reads):
-        if self._long(reads):
-            return self.inner.query(reads)
-        res = self.spc.classify(reads, want_values=True)
-        return {"lengths": res["lengths"]}
-
-    def classify(self, reads, bin_width, max_value_thr):
-        if self._long(reads):
-            return self.inner.classify(reads, bin_width, max_value_thr)
-        return self.spc.classify(reads, want_values=False)
-
-
 def _blockbits_eligible(dense: DenseIndex) -> bool:
     # over-cliff v4 (one ~13.6 ns gather/step) still beats v2's multi-probe
     # step at human-genome scale, so auto-select it whenever it fits int32
@@ -627,10 +596,15 @@ def run(cfg: RunConfig) -> int:
                                      cfg.use_promotions, cfg.use_dna_letters,
                                      cfg.mode)
 
-    if cfg.device != "cpu" and cfg.mode == "pml" and not cfg.use_doc:
+    if cfg.device != "cpu":
         import jax
-        if len(jax.devices()) > 1:
-            engine = _ShardedEngine(engine, cfg.bin_size, thr)
+        if len(jax.devices()) > 1 and hasattr(engine, "to_mesh"):
+            # one process drives ALL local devices, in EVERY mode (MS and
+            # doc tracking included — compute_ms_pml.cpp:1036-1217): the
+            # index is replicated, staged read batches are 'data'-sharded,
+            # and the jitted kernels run sharded via GSPMD propagation
+            from .parallel.mesh import make_data_mesh
+            engine.to_mesh(make_data_mesh())
             log("run", f"data-parallel over {len(jax.devices())} local "
                        f"devices (reads sharded, index replicated)")
 
@@ -803,13 +777,13 @@ def run(cfg: RunConfig) -> int:
                 and hasattr(engine, "stage"))
 
     def staged_batches():
-        from .io.fastx_batch import (PackedReads, iter_packed_batches,
-                                     upper_packed)
+        from .io.fastx_batch import PackedReads, iter_packed_batches
         from .io.minimizers import digest_packed
 
         seen = 0
         max_lanes = 65536 if cfg.report_only else 8192
-        for pk in iter_packed_batches(cfg.pattern_file, cfg.batch_bases):
+        for pk in iter_packed_batches(cfg.pattern_file, cfg.batch_bases,
+                                      upper=True):
             npk = len(pk)
             if seen + npk <= skip:       # resume: skip whole batches
                 seen += npk
@@ -820,7 +794,6 @@ def run(cfg: RunConfig) -> int:
                                  pk.buf[pk.offs[a]:].copy(),
                                  (pk.offs[a:] - pk.offs[a]).copy())
             seen += npk
-            pk = upper_packed(pk)
             if cfg.min_digest:
                 pk = digest_packed(pk, cfg.use_promotions,
                                    cfg.use_dna_letters, cfg.k, cfg.w)

@@ -174,6 +174,56 @@ def test_filelist_doc_array(tmp_path, rng):
         assert frac > 0.9, (d, frac, arr[:20])
 
 
+def test_sharded_ms_and_doc_modes(tmp_path, rng):
+    """-M and -d runs through the one-process multi-device path (8 virtual
+    devices -> ScanEngine.to_mesh): value files byte-identical to the CPU
+    engine run (compute_ms_pml.cpp:1036-1217 — MS and doc tracking are
+    first-class output modes, not PML-only)."""
+    paths = []
+    genomes = []
+    for d in range(2):
+        p = str(tmp_path / f"doc{d}.fa")
+        seqs = _write_genome(p, rng, contigs=((f"seq{d}", 6000),))
+        genomes.append("".join(seqs.values()))
+        paths.append((p, d + 1))
+    list_path = str(tmp_path / "files.txt")
+    with open(list_path, "w") as f:
+        for p, did in paths:
+            f.write(f"{p} {did}\n")
+    reads_path = str(tmp_path / "reads.fa")
+    with open(reads_path, "w") as f:
+        for d, g in enumerate(genomes):
+            f.write(f">from_doc{d + 1}\n{g[800:1100]}\n")
+        f.write(f">neg\n{''.join(ACGT[i] for i in rng.integers(0, 4, 300))}\n")
+
+    build(BuildConfig(input_list=list_path,
+                      output_prefix=str(tmp_path / "idx"),
+                      pml_index=True, ms_index=True, build_doc=True,
+                      use_minimizers=False))
+    import jax
+    assert len(jax.devices()) > 1, "test needs the virtual multi-device mesh"
+
+    outputs = {}
+    for device in ("cpu", "tpu"):
+        # MS + doc: pointers, extended lengths AND doc numbers
+        run(RunConfig(ref_file=str(tmp_path / "idx"),
+                      pattern_file=reads_path, ms_requested=True,
+                      use_doc=True, min_digest=False, device=device))
+        outputs[device] = {
+            ext: open(reads_path + ext, "rb").read()
+            for ext in (".lengths", ".pointers", ".doc_numbers")}
+        # PML + doc
+        run(RunConfig(ref_file=str(tmp_path / "idx"),
+                      pattern_file=reads_path, pml_requested=True,
+                      use_doc=True, min_digest=False, device=device))
+        outputs[device][".pseudo_lengths"] = \
+            open(reads_path + ".pseudo_lengths", "rb").read()
+        outputs[device][".pml_doc"] = \
+            open(reads_path + ".doc_numbers", "rb").read()
+    for ext in outputs["cpu"]:
+        assert outputs["cpu"][ext] == outputs["tpu"][ext], ext
+
+
 def test_general_text(tmp_path, rng):
     data = bytes(rng.integers(97, 123, size=30000).astype(np.uint8))
     ref_path = str(tmp_path / "corpus.txt")
