@@ -264,10 +264,12 @@ def bench_e2e(raw, text, rng):
         for i in range(n_reads):
             f.write(f">r{i}\n{reads[i].tobytes().decode()}\n")
 
-    # 4 batches: the prefetch (decode) and writer (classify+IO) threads
-    # overlap device compute across batch boundaries
+    # 2 batches of 32k reads: big kernels (the scan step is latency-floored
+    # regardless of lane count, so reads/s scales with B) while the
+    # prefetch (decode+stage) and writer threads still overlap across the
+    # batch boundary
     cfg = dict(ref_file=prefix, pattern_file=reads_path, pml_requested=True,
-               min_digest=False, write_report=True, batch_bases=16_000_000)
+               min_digest=False, write_report=True, batch_bases=33_554_432)
     run(RunConfig(**cfg))          # warm (compile + caches)
     t0 = time.time()
     run(RunConfig(**cfg))

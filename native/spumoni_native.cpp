@@ -1390,23 +1390,49 @@ i64 spn_fastx_extract(const u8* data, i64 n, int fastq, int do_upper,
 }
 
 // Packs selected CSR reads into [B, L] lockstep rows: optional reversal
-// (folded into the copy direction), byte->rank mapping via `amap` (256
-// entries; 255 = uncovered byte), optional 4-bit nibble packing (out is
-// then [B, L/2]). Rows past nsel stay zero (caller zeroes `out`).
-// Returns 0, or 1 if any byte mapped to 255 (caller extends the alphabet
-// and retries).
-int spn_pack_rows(const u8* buf, const i64* starts, const i64* ends,
-                  i64 nsel, i64 L, const u8* amap, int reverse, int nibble,
-                  u8* out, int threads) {
+// (folded into the copy direction), byte->value mapping via `amap` (256
+// entries; 255 = uncovered byte), and bit-width packing:
+//   bits=8  [B, L]   one value per byte
+//   bits=4  [B, L/2] nibble-packed (values < 16)
+//   bits=2  [B, L/4] 2-bit codes from `amap2` (byte -> 0..3; 255 = not
+//           2-bit-codable). Non-codable positions are emitted as
+//           (row, col, amap[byte]) exception triples into `exc` — the
+//           device scatters them over the unpacked base codes. Rare by
+//           construction (N bases); returns -1 if they exceed exc_cap.
+// Rows past nsel stay zero (caller zeroes `out`). Returns the exception
+// count (0 for bits 8/4), -1 on exception overflow, -2 if any byte mapped
+// to amap sentinel 255 (caller extends the alphabet and retries).
+i64 spn_pack_rows(const u8* buf, const i64* starts, const i64* ends,
+                  i64 nsel, i64 L, const u8* amap, int reverse, int bits,
+                  u8* out, const u8* amap2, i32* exc, i64 exc_cap,
+                  int threads) {
     std::atomic<int> miss{0};
-    i64 rowbytes = nibble ? L / 2 : L;
+    std::atomic<i64> nexc{0};
+    i64 rowbytes = bits == 2 ? L / 4 : bits == 4 ? L / 2 : L;
     auto work = [&](i64 lo, i64 hi) {
         int local_miss = 0;
         for (i64 r = lo; r < hi; ++r) {
             const u8* p = buf + starts[r];
             i64 m = ends[r] - starts[r];
             u8* row = out + r * rowbytes;
-            if (nibble) {
+            if (bits == 2) {
+                for (i64 j = 0; j < m; ++j) {
+                    u8 b = p[reverse ? m - 1 - j : j];
+                    u8 c = amap2[b];
+                    if (c > 3) {
+                        u8 v = amap[b];
+                        local_miss |= v == 255;
+                        i64 slot = nexc.fetch_add(1);
+                        if (slot < exc_cap) {
+                            exc[3 * slot] = (i32)r;
+                            exc[3 * slot + 1] = (i32)j;
+                            exc[3 * slot + 2] = (i32)v;
+                        }
+                        c = 0;
+                    }
+                    row[j >> 2] |= (u8)(c << ((j & 3) << 1));
+                }
+            } else if (bits == 4) {
                 for (i64 j = 0; j < m; ++j) {
                     u8 v = amap[p[reverse ? m - 1 - j : j]];
                     local_miss |= v == 255;
@@ -1433,7 +1459,9 @@ int spn_pack_rows(const u8* buf, const i64* starts, const i64* ends,
         }
         for (auto& th : pool) th.join();
     }
-    return miss.load();
+    if (miss.load()) return -2;
+    if (nexc.load() > exc_cap) return -1;
+    return nexc.load();
 }
 
 }  // extern "C"

@@ -202,7 +202,7 @@ print(len(reads) / (time.time() - t0) / threads)
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("cmd", choices=["gen", "build", "run", "cpu", "all_host"])
-    ap.add_argument("--batch-bases", type=int, default=16_000_000)
+    ap.add_argument("--batch-bases", type=int, default=33_554_432)
     args = ap.parse_args()
     if args.cmd == "all_host":
         gen(args)

@@ -26,6 +26,9 @@ from .arrays import IndexArrays, IndexMeta
 from ..utils import encode_rows, present_chars
 
 _IDENT_AMAP = np.arange(256, dtype=np.uint8)  # raw-byte staging (no host)
+_AMAP2_ACGT = np.full(256, 255, dtype=np.uint8)  # 2-bit codes; 255 = exc
+for _i, _b in enumerate(b"ACGT"):
+    _AMAP2_ACGT[_b] = _i
 
 
 def _bsearch_le(c_start, lo0, hi0, pos, iters, r):
@@ -1005,6 +1008,24 @@ def _decode_alpha(codes, alpha: tuple):
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("ranks",))
+def _unpack2(xp, ranks: tuple, exc_rows, exc_cols, exc_vals):
+    """[B, L/4] u8 of packed 2-bit ACGT codes -> [B, L] u8 values: codes
+    decode through the 4-entry static `ranks` (predicated selects), then
+    the sparse exception triples (non-ACGT bases; row index B = padding)
+    scatter their true 8-bit values on top. Halves the dominant h2d
+    transfer again vs 4-bit (the axon tunnel runs as low as ~30 MB/s)."""
+    B, Q = xp.shape
+    codes = jnp.stack([(xp >> jnp.uint8(2 * k)) & jnp.uint8(3)
+                       for k in range(4)], axis=2).reshape(B, 4 * Q)
+    out = jnp.zeros(codes.shape, jnp.uint8)
+    for c, rk in enumerate(ranks):
+        if rk:
+            out = jnp.where(codes == c, jnp.uint8(rk), out)
+    return out.at[exc_rows, exc_cols].set(exc_vals.astype(jnp.uint8),
+                                          mode="drop")
+
+
 @jax.jit
 def _anomalous_mask(ptrs_fwd, lens):
     """Lanes with any in-read pointer <= 0 (reset / unsigned underflow):
@@ -1476,62 +1497,104 @@ class ScanEngine:
                 lens[:len(sel)] = lens_all[sel]
                 if self.host is not None:
                     self._ensure_alpha()
-                # 4-bit nibble packing halves the h2d bill (the axon tunnel
-                # runs as low as ~30 MB/s; reads are the dominant transfer
-                # of a report-only run) whenever the alphabet fits a nibble
+                # 2-bit (ACGT + sparse exceptions) or 4-bit packing shrinks
+                # the h2d bill 4x/2x (the axon tunnel runs as low as
+                # ~30 MB/s; reads are the dominant transfer of a
+                # report-only run)
                 use_native = os.environ.get("SPN_PY_PACK") != "1"
                 starts, ends_ = offs[sel], offs[sel + 1]
+                exc = None
                 if use_native:
                     from ..native import pack_rows_native
-                    for _attempt in range(2):
-                        amap = (self._stage_amap if self.host is not None
-                                else _IDENT_AMAP)
-                        packed = (self.host is not None
-                                  and len(self._stage_alpha) <= 16)
-                        revm, miss = pack_rows_native(
-                            buf, starts, ends_, B, L, amap, True, packed)
-                        if not miss or self.host is None:
-                            break
-                        self._extend_alpha(present_chars(buf))
+                    amap = (self._stage_amap if self.host is not None
+                            else _IDENT_AMAP)
+                    bits = 2 if self.host is not None else 8
+                    for _attempt in range(3):
+                        fall = (4 if self.host is not None
+                                and len(self._stage_alpha) <= 16 else 8)
+                        revm, miss, exc = pack_rows_native(
+                            buf, starts, ends_, B, L, amap, True, bits,
+                            _AMAP2_ACGT)
+                        if miss and self.host is not None:
+                            self._extend_alpha(present_chars(buf))
+                            amap = self._stage_amap
+                            continue
+                        if bits == 2 and exc is None:  # exception overflow
+                            bits = fall
+                            continue
+                        break
                 else:
                     rev = _pack_rows(buf, offs, sel, B, L, reverse=True)
                     revm = (self._rank_for_stage(rev)
                             if self.host is not None else rev)
-                    packed = (self.host is not None
-                              and len(self._stage_alpha) <= 16)
-                    if packed:
+                    bits = (4 if self.host is not None
+                            and len(self._stage_alpha) <= 16 else 8)
+                    if bits == 4:
                         revm = _nibble_pack(revm)
                 planes = None
+                ranks2 = None
                 if self.host is not None:
                     planes = self.host.planes_for_alphabet(self._stage_alpha)
                     if self.mesh is not None:
                         from ..parallel.mesh import replicate_index
                         planes = replicate_index(planes, self.mesh)
+                    am = self._stage_amap
+                    ranks2 = tuple(int(am[c]) for c in b"ACGT")
                 g = {"long": False, "L": L, "idxs": sel, "lens": lens,
-                     "planes": planes, "packed": packed,
+                     "planes": planes, "bits": bits, "ranks2": ranks2,
                      "alpha": self._stage_alpha,
                      "revm_d": self._put2(revm),
+                     "exc_d": self._stage_exc(exc, B) if bits == 2 else None,
                      "lens_d": self._put1(lens)}
                 if want_fwd_raw:
                     if use_native:
-                        fmat, _ = pack_rows_native(
+                        fmat, _, fexc = pack_rows_native(
                             buf, starts, ends_, B, L,
-                            amap if packed else _IDENT_AMAP, False, packed)
+                            amap if bits == 4 else _IDENT_AMAP, False, bits,
+                            _AMAP2_ACGT)
+                        if bits == 2:
+                            g["fexc_d"] = self._stage_exc(fexc, B)
                     else:
                         fmat = _pack_rows(buf, offs, sel, B, L)
-                        if packed:
+                        if bits == 4:
                             fmat = _nibble_pack(self._stage_amap[fmat])
-                    g["fwdc_d" if packed else "fwd_d"] = self._put2(fmat)
+                    g["fwdc_d" if bits == 4 else "fwd_d"] = self._put2(fmat)
                 groups.append(g)
         return groups
 
+    @staticmethod
+    def _stage_exc(exc, B: int):
+        """Device triple (rows, cols, vals) for the 2-bit exception list,
+        padded to a power-of-two length with out-of-range rows (B) that the
+        scatter drops — stable shapes keep the unpack kernel cached."""
+        import jax
+
+        k = 0 if exc is None else len(exc)
+        cap = max(16, 1 << max(0, (k - 1)).bit_length())
+        rows = np.full(cap, B, np.int32)
+        cols = np.zeros(cap, np.int32)
+        vals = np.zeros(cap, np.int32)
+        if k:
+            rows[:k] = exc[:, 0]
+            cols[:k] = exc[:, 1]
+            vals[:k] = exc[:, 2]
+        return (jax.device_put(jnp.asarray(rows)),
+                jax.device_put(jnp.asarray(cols)),
+                jax.device_put(jnp.asarray(vals)))
+
     def _rev_d(self, g):
         """Device [B, L] rank-mapped reversed rows for a staged group."""
-        return _unpack4(g["revm_d"]) if g["packed"] else g["revm_d"]
+        if g["bits"] == 2:
+            return _unpack2(g["revm_d"], g["ranks2"], *g["exc_d"])
+        if g["bits"] == 4:
+            return _unpack4(g["revm_d"])
+        return g["revm_d"]
 
     def _fwd_d(self, g):
         """Device [B, L] RAW natural-order rows (MS extension input)."""
-        if g["packed"]:
+        if g["bits"] == 2:
+            return _unpack2(g["fwd_d"], (65, 67, 71, 84), *g["fexc_d"])
+        if g["bits"] == 4:
             return _decode_alpha(_unpack4(g["fwdc_d"]), g["alpha"])
         return g["fwd_d"]
 

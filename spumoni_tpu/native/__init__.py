@@ -117,10 +117,12 @@ def get_lib() -> ctypes.CDLL:
             lib.spn_fastx_extract.argtypes = [p_u8, c_i64, ctypes.c_int,
                                               ctypes.c_int, p_u8, p_i64,
                                               p_i64]
-            lib.spn_pack_rows.restype = ctypes.c_int
+            p_i32 = ctypes.POINTER(ctypes.c_int32)
+            lib.spn_pack_rows.restype = c_i64
             lib.spn_pack_rows.argtypes = [p_u8, p_i64, p_i64, c_i64, c_i64,
                                           p_u8, ctypes.c_int, ctypes.c_int,
-                                          p_u8, ctypes.c_int]
+                                          p_u8, p_u8, p_i32, c_i64,
+                                          ctypes.c_int]
             _lib = lib
     return _lib
 
@@ -143,24 +145,43 @@ def fastx_extract(data: np.ndarray, fastq: bool, upper: bool = False):
     return seq[:offs[-1]].copy(), offs.copy(), idpos[:2 * nr].copy()
 
 
+_AMAP2_NONE = np.full(256, 255, dtype=np.uint8)
+
+
 def pack_rows_native(buf: np.ndarray, starts: np.ndarray, ends: np.ndarray,
                      B: int, L: int, amap: np.ndarray, reverse: bool,
-                     nibble: bool, threads: int = 0) -> tuple:
-    """[B, L] (or [B, L/2] nibble-packed) optionally-reversed rank-mapped
-    rows for the reads at buf[starts[r]:ends[r]]; returns
-    (matrix, miss_flag) — miss means a byte mapped to amap sentinel 255."""
+                     bits: int = 8, amap2: np.ndarray | None = None,
+                     threads: int = 0):
+    """[B, L*bits/8] packed, optionally-reversed, amap-mapped rows for the
+    reads at buf[starts[r]:ends[r]].
+
+    Returns (matrix, miss, exc) where miss means a byte hit amap sentinel
+    255 (extend the alphabet and retry), and exc is the [k, 3] int32
+    (row, col, value) exception list of the 2-bit mode (positions whose
+    byte is not in amap2) — None when bits != 2 or on exception overflow
+    (caller falls back to bits=4)."""
     nsel = len(starts)
-    rowbytes = L // 2 if nibble else L
+    rowbytes = {8: L, 4: L // 2, 2: L // 4}[bits]
     out = np.zeros((B, rowbytes), dtype=np.uint8)
     if threads <= 0:
         threads = os.cpu_count() or 1
-    miss = get_lib().spn_pack_rows(
+    cap = max(1024, (B * L) // 64)
+    exc = np.empty((cap, 3), dtype=np.int32) if bits == 2 else \
+        np.empty((1, 3), dtype=np.int32)
+    p_i32 = ctypes.POINTER(ctypes.c_int32)
+    rc = get_lib().spn_pack_rows(
         _p_u8(np.ascontiguousarray(buf)),
         _p_i64(np.ascontiguousarray(starts)),
         _p_i64(np.ascontiguousarray(ends)),
         nsel, L, _p_u8(np.ascontiguousarray(amap)), int(reverse),
-        int(nibble), _p_u8(out), threads)
-    return out, bool(miss)
+        int(bits), _p_u8(out),
+        _p_u8(amap2 if amap2 is not None else _AMAP2_NONE),
+        exc.ctypes.data_as(p_i32), cap if bits == 2 else 0, threads)
+    if rc == -2:
+        return out, True, None
+    if rc == -1:
+        return out, False, None   # exception overflow: use bits=4
+    return out, False, (exc[:rc].copy() if bits == 2 else None)
 
 
 def _p_u8(a: np.ndarray):

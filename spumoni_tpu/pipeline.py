@@ -379,7 +379,10 @@ class RunConfig:
     bin_size: int = DEFAULT_BIN_SIZE
     threads: int = 1
     device: str = "tpu"       # 'tpu' | 'cpu'
-    batch_bases: int = 4_000_000
+    batch_bases: int = 33_554_432  # scan cost per step is latency-floored
+                              # (~0.26 ms) regardless of lane count up to
+                              # ~131k lanes, so reads/s scales with B: feed
+                              # the chip 32k+ reads per kernel call
     resume: bool = False      # resume from the per-host read cursor
     process_index: int = 0    # multi-host read sharding (parallel.distributed)
     process_count: int = 1
