@@ -107,7 +107,14 @@ def _build_parser() -> argparse.ArgumentParser:
                         "eligible), layered v2 (MS/doc and large indexes), "
                         "occ-block v3 (kept for stronger-VPU parts)")
     r.add_argument("--batch-bases", dest="batch_bases", type=int,
-                   default=4_000_000, help="bases per device batch")
+                   default=33_554_432, help="bases per device batch (the "
+                        "scan step is latency-floored, so reads/s scales "
+                        "with lanes per kernel call)")
+    r.add_argument("--tp-devices", dest="tp_devices", type=int, default=0,
+                   help="ICI-sharded index: shard the index rows over this "
+                        "many devices on the 'model' mesh axis (classify-"
+                        "only; 0 = auto when the index exceeds the HBM "
+                        "budget, -1 = never)")
     r.add_argument("--ks-report", dest="ks_report", action="store_true",
                    help="classify via windowed KS test instead of bin-max")
     r.add_argument("--resume", dest="resume", action="store_true",

@@ -101,6 +101,12 @@ class BitMeta(NamedTuple):
     # (include/spumoni_main.hpp:60). In-row SWAR rank/char work remains
     # int32; only checkpoint arithmetic widens.
     wide: bool = False
+    # ICI-sharded rows (TP): set when the step runs inside a shard_map whose
+    # `tp_axis` mesh axis shards `bblocks` by rows — THE gather becomes an
+    # owner-masked local gather + one [B, W] psum per step (cheap relative
+    # to the layered TP path: v4 does exactly one probe). The >HBM escape
+    # hatch for indexes past a chip's HBM (parallel/tp.py).
+    tp_axis: Optional[str] = None
 
 
 def _pack_of(idx) -> Optional[int]:
@@ -449,9 +455,23 @@ def make_blockbits_step_fn(meta: BitMeta, mode: str, use_doc: bool):
         rk = jnp.clip(c_blk, 0, nslots - 1).astype(i32)
 
         # THE gather
-        nb = ix.bblocks.shape[0]
+        nb_local = ix.bblocks.shape[0]
         blk = (pos >> logP).astype(i32)    # nb < 2^31 even in wide mode
-        row = ix.bblocks[jnp.clip(blk, 0, nb - 1)]              # [B, W]
+        if meta.tp_axis is not None:
+            # ICI-sharded rows: the owner shard gathers locally, others
+            # contribute zeros; psum reassembles the row on every shard
+            # (lanes stay replicated along tp, so carries never diverge)
+            tpi = jax.lax.axis_index(meta.tp_axis).astype(i32)
+            tp_size = jax.lax.psum(1, meta.tp_axis)
+            nb = nb_local * tp_size
+            blkc = jnp.clip(blk, 0, nb - 1)
+            mine = (blkc // nb_local) == tpi
+            local = jnp.clip(blkc - tpi * nb_local, 0, nb_local - 1)
+            row = jnp.where(mine[:, None], ix.bblocks[local], 0)
+            row = jax.lax.psum(row, meta.tp_axis)
+        else:
+            nb = nb_local
+            row = ix.bblocks[jnp.clip(blk, 0, nb - 1)]          # [B, W]
         off = (pos & (P - 1)).astype(i32)
 
         # SWAR rank over packed char words: group == code  <=>  all bits of

@@ -89,28 +89,55 @@ def shard_index_tp(arrays: LayeredArrays, meta: LayeredMeta, mesh: Mesh,
             meta._replace(tp_axis=model_axis))
 
 
+def shard_index_tp_bits(arrays, meta, mesh: Mesh, model_axis: str = "model"):
+    """Block-bits (engine v4) variant: `bblocks` row-sharded over
+    `model_axis` (zero-padded to a multiple of the axis size — pad rows map
+    to positions >= n and are never gathered), everything else replicated.
+    One [B, W] psum per step reassembles the single gathered row — v4's
+    one-probe step makes this the cheap TP path (VERDICT r3 #4)."""
+    S = mesh.shape[model_axis]
+    bb = np.asarray(arrays.bblocks)
+    rows = bb.shape[0]
+    if rows % S:
+        pad = -(-rows // S) * S - rows
+        bb = np.concatenate(
+            [bb, np.zeros((pad, bb.shape[1]), bb.dtype)], axis=0)
+    bblocks = jax.device_put(
+        jnp.asarray(bb), NamedSharding(mesh, P(model_axis, None)))
+    rest = replicate_index(arrays._replace(bblocks=None), mesh)
+    return (rest._replace(bblocks=bblocks),
+            meta._replace(tp_axis=model_axis))
+
+
 class TpPmlClassifier:
-    """PML classification with the index sharded over ICI (layered engine).
+    """PML classification with the index sharded over ICI (layered or
+    block-bits engine).
 
     Same classify-only contract as ShardedPmlClassifier(want_values=False):
     per-read (found, above, below, sum_maxes) summaries leave the mesh."""
 
-    def __init__(self, arrays: LayeredArrays, meta: LayeredMeta, mesh: Mesh,
+    def __init__(self, arrays, meta, mesh: Mesh,
                  bin_width: int, max_value_thr: int, host=None,
                  data_axis: str = "data", model_axis: str = "model"):
-        assert isinstance(arrays, LayeredArrays) or hasattr(arrays, "fields"), \
-            "ICI index sharding is implemented for the layered engine"
+        self.bits = hasattr(arrays, "bblocks")
+        assert self.bits or hasattr(arrays, "fields"), \
+            "ICI index sharding: layered or block-bits engines only"
         self.mesh = mesh
         self.data_axis, self.model_axis = data_axis, model_axis
         self.host = host
         self.bin_width = bin_width
         self.max_value_thr = max_value_thr
-        self.arrays, self.meta = shard_index_tp(arrays, meta, mesh,
-                                                model_axis)
-        # Total run SLOTS including shard-pad rows (not the logical run
-        # count r) — used only to size probe clamping in the step fn; pad
-        # slots carry the inert F_START=n sentinel.
-        self.n_slots = int(self.arrays.fields.shape[0]) * self.meta.group
+        if self.bits:
+            self.arrays, self.meta = shard_index_tp_bits(arrays, meta, mesh,
+                                                         model_axis)
+            self.n_slots = int(self.arrays.bblocks.shape[0])
+        else:
+            self.arrays, self.meta = shard_index_tp(arrays, meta, mesh,
+                                                    model_axis)
+            # Total run SLOTS including shard-pad rows (not the logical run
+            # count r) — used only to size probe clamping in the step fn;
+            # pad slots carry the inert F_START=n sentinel.
+            self.n_slots = int(self.arrays.fields.shape[0]) * self.meta.group
         self.n_data = mesh.shape[data_axis]
         self._fn_cache = {}
 
@@ -126,7 +153,10 @@ class TpPmlClassifier:
                                         r, bw, planes)
 
         ix_specs = jax.tree_util.tree_map(lambda _: P(), self.arrays)
-        ix_specs = ix_specs._replace(fields=P(ma, None))
+        if self.bits:
+            ix_specs = ix_specs._replace(bblocks=P(ma, None))
+        else:
+            ix_specs = ix_specs._replace(fields=P(ma, None))
         fn = jax.jit(shard_map(
             inner, mesh=self.mesh,
             in_specs=(ix_specs, P(da, None), P(da), P(), P()),

@@ -393,6 +393,15 @@ class RunConfig:
                               # fused on device and only O(B) verdict
                               # summaries cross the host link (extension
                               # flag; the reference always writes values)
+    tp_devices: int = 0       # ICI-sharded index ("TP", parallel/tp.py):
+                              # >1 forces that many devices on the 'model'
+                              # axis (index rows sharded, one psum/step);
+                              # 0 = auto — engages when the estimated
+                              # engine footprint exceeds the per-device HBM
+                              # budget (SPN_HBM_BUDGET_GB, default 12).
+                              # Classify-only (--report-only, PML): the
+                              # >HBM escape hatch; replication is faster
+                              # whenever the index fits (PERF_NOTES).
     engine: str = "auto"      # 'auto' | 'layered' (v2) | 'occ' (v3) |
                               # 'bits' (v4, PML-only 1-slim-gather/step).
                               # auto: v4 when eligible for PML without doc
@@ -442,6 +451,15 @@ class RunConfig:
                 raise ValueError("--report-only cannot produce .doc_numbers "
                                  "(-d writes per-position value files); run "
                                  "without --report-only for doc output")
+        if self.tp_devices > 1:
+            if not (self.report_only and self.mode == "pml"
+                    and not self.use_doc):
+                raise ValueError("--tp-devices (ICI-sharded index) is "
+                                 "classify-only: requires -P -c "
+                                 "--report-only without -d")
+            if self.engine == "occ":
+                raise ValueError("--tp-devices supports the layered and "
+                                 "block-bits engines")
 
 
 def _make_engine(cfg: RunConfig, dense: DenseIndex, index_path=None):
@@ -518,6 +536,72 @@ def _make_engine(cfg: RunConfig, dense: DenseIndex, index_path=None):
     return ScanEngine(arrays, meta, mode=cfg.mode, use_doc=cfg.use_doc, host=host)
 
 
+def _tp_decision(cfg: "RunConfig", dense: DenseIndex) -> int:
+    """Model-axis size for the ICI-sharded-index path: the explicit
+    --tp-devices, or (auto) the smallest power of two whose per-device
+    shard fits the HBM budget when the estimated engine footprint exceeds
+    it. 1 = no TP (replication is faster whenever the index fits,
+    PERF_NOTES 'ICI-sharded index')."""
+    if cfg.device == "cpu" or not (cfg.report_only and cfg.mode == "pml"
+                                   and not cfg.use_doc):
+        return 1  # validate() rejects tp_devices > 1 outside this combo
+    if cfg.tp_devices > 1:
+        return cfg.tp_devices
+    if cfg.tp_devices < 0:  # explicit off
+        return 1
+    import jax
+    ndev = len(jax.devices())
+    if ndev < 2:
+        return 1
+    budget = float(os.environ.get("SPN_HBM_BUDGET_GB", "12")) * 1e9
+    from .engine import blockbits
+    if cfg.engine in ("auto", "bits") and blockbits.eligible_any(dense):
+        est = (-(-dense.n // 512)) * 404     # v4 P=512 row bytes (wide)
+    else:
+        est = (dense.r + 1) * 8 * 4 * 2      # layered fields upper bound
+    if est <= budget:
+        return 1
+    tp_n = 2
+    while tp_n < ndev and est / tp_n > budget:
+        tp_n *= 2
+    log("run", f"auto TP: estimated index {est / 1e9:.1f} GB exceeds the "
+               f"{budget / 1e9:.0f} GB budget")
+    return tp_n
+
+
+def _make_tp_engine(cfg: "RunConfig", dense: DenseIndex, tp_n: int,
+                    max_value_thr: int):
+    """Engine adapter for the classify-only ICI-sharded path
+    (parallel/tp.py): v4 block-bits rows when eligible (ONE psum per step),
+    else the layered fields table."""
+    import jax
+
+    from .parallel.tp import TpPmlClassifier, make_tp_mesh
+
+    ndev = len(jax.devices())
+    if ndev % tp_n or ndev < tp_n:
+        raise ValueError(f"--tp-devices {tp_n} does not divide the "
+                         f"{ndev} available devices")
+    from .engine import blockbits
+    if cfg.engine in ("auto", "bits") and blockbits.eligible_any(dense):
+        arrays, meta, host = blockbits.build_blockbits(dense)
+    else:
+        from .engine.layered import build_layered
+        arrays, meta, host = build_layered(dense)
+    tp = TpPmlClassifier(arrays, meta, make_tp_mesh(ndev // tp_n, tp_n),
+                         cfg.bin_size, max_value_thr, host=host)
+
+    class _TpAdapter:
+        def __init__(self, tp_):
+            self.tp = tp_
+            self.arrays = tp_.arrays
+
+        def classify(self, reads, bin_width, thr):
+            return self.tp.classify(reads)
+
+    return _TpAdapter(tp)
+
+
 def _blockbits_eligible(dense: DenseIndex) -> bool:
     # over-cliff v4 (one ~13.6 ns gather/step) still beats v2's multi-probe
     # step at human-genome scale, so auto-select it whenever it fits int32
@@ -583,14 +667,18 @@ def run(cfg: RunConfig) -> int:
     base = cfg.ref_file + ext if not cfg.is_general_text else cfg.ref_file
     index_path = base + (".thrbv.ms" if cfg.mode == "ms" else ".thrbv.spumoni")
     dense = load_dense_index(index_path)
-    engine = _make_engine(cfg, dense, index_path=index_path)
-    if cfg.device != "cpu":
-        from .utils import device_array_footprint
-        fp = device_array_footprint(engine.arrays)
-        log("run", f"index resident in HBM: {fp['__total__'] / 1e6:.1f} MB "
-                   f"(n={dense.n}, r={dense.r})")
+
+    def _log_footprint(eng):
+        if cfg.device != "cpu":
+            from .utils import device_array_footprint
+            fp = device_array_footprint(eng.arrays)
+            log("run", f"index resident in HBM: "
+                       f"{fp['__total__'] / 1e6:.1f} MB "
+                       f"(n={dense.n}, r={dense.r})")
 
     if cfg.is_general_text:
+        engine = _make_engine(cfg, dense, index_path=index_path)
+        _log_footprint(engine)
         return _run_general_text(cfg, engine)
 
     null_db = EmpNullDatabase.load(
@@ -599,17 +687,26 @@ def run(cfg: RunConfig) -> int:
                                      cfg.use_promotions, cfg.use_dna_letters,
                                      cfg.mode)
 
-    if cfg.device != "cpu":
-        import jax
-        if len(jax.devices()) > 1 and hasattr(engine, "to_mesh"):
-            # one process drives ALL local devices, in EVERY mode (MS and
-            # doc tracking included — compute_ms_pml.cpp:1036-1217): the
-            # index is replicated, staged read batches are 'data'-sharded,
-            # and the jitted kernels run sharded via GSPMD propagation
-            from .parallel.mesh import make_data_mesh
-            engine.to_mesh(make_data_mesh())
-            log("run", f"data-parallel over {len(jax.devices())} local "
-                       f"devices (reads sharded, index replicated)")
+    tp_n = _tp_decision(cfg, dense)
+    if tp_n > 1:
+        engine = _make_tp_engine(cfg, dense, tp_n, thr)
+        log("run", f"ICI-sharded index (TP): rows sharded over {tp_n} "
+                   f"'model' devices, reads over the 'data' axis")
+    else:
+        engine = _make_engine(cfg, dense, index_path=index_path)
+        if cfg.device != "cpu":
+            import jax
+            if len(jax.devices()) > 1 and hasattr(engine, "to_mesh"):
+                # one process drives ALL local devices, in EVERY mode (MS
+                # and doc tracking included — compute_ms_pml.cpp:1036-1217):
+                # the index is replicated, staged read batches are
+                # 'data'-sharded, and the jitted kernels run sharded via
+                # GSPMD propagation
+                from .parallel.mesh import make_data_mesh
+                engine.to_mesh(make_data_mesh())
+                log("run", f"data-parallel over {len(jax.devices())} local "
+                           f"devices (reads sharded, index replicated)")
+    _log_footprint(engine)
 
     from .parallel import distributed as dist
 

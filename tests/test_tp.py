@@ -126,3 +126,88 @@ def test_tp_beyond_single_device_budget(rng):
         ref = binmax.classify(ref_lengths[i], 150, 5)
         assert (ref.status == "FOUND") == bool(out["found"][i]), i
         assert ref.bins_above == out["above"][i], i
+
+
+def test_tp_blockbits_matches_native(rng, make_reads):
+    """Block-bits (engine v4) TP: bblocks row-sharded over a 2x4 mesh, one
+    [B, W] psum per step — verdicts must match the native oracle and every
+    device must hold only its row shard (VERDICT r3 #4: the cheap TP
+    variant for the >HBM escape hatch)."""
+    from spumoni_tpu.engine.blockbits import build_blockbits
+
+    text = rand_dna(rng, 6000)
+    raw = build_raw_index(np.frombuffer(text, np.uint8))
+    dense = build_dense_index(raw)
+    arrays, meta, host = build_blockbits(dense)
+    native = NativeQueryEngine(raw.n, raw.run_heads, raw.run_starts,
+                               raw.thresholds, raw.samples_start,
+                               raw.samples_last)
+    clf = TpPmlClassifier(arrays, meta, make_tp_mesh(2, 4), bin_width=150,
+                          max_value_thr=5, host=host)
+    total_rows = clf.arrays.bblocks.shape[0]
+    for shard in clf.arrays.bblocks.addressable_shards:
+        assert shard.data.shape[0] == total_rows // 4
+    reads = [mutated_substring(rng, text, 300, err=0.05) for _ in range(9)]
+    reads += [rand_dna(rng, 300) for _ in range(8)]
+    out = clf.classify(reads)
+    ref_lengths = native.query_pml(reads)
+    for i in range(len(reads)):
+        ref = binmax.classify(ref_lengths[i], 150, 5)
+        assert (ref.status == "FOUND") == bool(out["found"][i]), i
+        assert ref.bins_above == out["above"][i], i
+        assert ref.bins_below == out["below"][i], i
+
+
+def test_tp_cli_reachable(tmp_path, rng):
+    """--tp-devices through pipeline.run (CLI surface): the TP report must
+    be byte-identical to the replicated-path report, for BOTH the forced
+    block-bits and layered engines, and auto-TP must engage when the HBM
+    budget is exceeded (VERDICT r3 #4: TP as a product path, not a library
+    artifact)."""
+    import os
+
+    from spumoni_tpu.pipeline import BuildConfig, RunConfig, build, run
+
+    genome_path = str(tmp_path / "g.fa")
+    with open(genome_path, "w") as f:
+        f.write(">chr\n" + rand_dna(rng, 20000).decode() + "\n")
+    reads_path = str(tmp_path / "reads.fa")
+    with open(reads_path, "w") as f:
+        text = open(genome_path).readlines()[1].strip().encode()
+        for i in range(6):
+            f.write(f">pos{i}\n"
+                    f"{mutated_substring(rng, text, 300, 0.05).decode()}\n")
+            f.write(f">neg{i}\n{rand_dna(rng, 300).decode()}\n")
+    build(BuildConfig(ref_file=genome_path, output_prefix=str(tmp_path / "i"),
+                      pml_index=True, use_minimizers=False))
+    base = dict(ref_file=str(tmp_path / "i"), pattern_file=reads_path,
+                pml_requested=True, min_digest=False, write_report=True,
+                report_only=True)
+    run(RunConfig(**base))
+    repl_report = open(reads_path + ".report", "rb").read()
+    for engine in ("bits", "layered"):
+        run(RunConfig(tp_devices=4, engine=engine, **base))
+        assert open(reads_path + ".report", "rb").read() == repl_report, \
+            engine
+    # auto-TP: a tiny budget forces the sharded path
+    os.environ["SPN_HBM_BUDGET_GB"] = "0.000001"
+    try:
+        run(RunConfig(**base))
+    finally:
+        del os.environ["SPN_HBM_BUDGET_GB"]
+    assert open(reads_path + ".report", "rb").read() == repl_report
+
+
+def test_tp_validation(tmp_path):
+    from spumoni_tpu.pipeline import RunConfig
+    import pytest
+
+    pat = str(tmp_path / "p.fa")
+    open(pat, "w").write(">r\nACGT\n")
+    with pytest.raises(ValueError, match="classify-only"):
+        RunConfig(ref_file="x", pattern_file=pat, pml_requested=True,
+                  min_digest=False, tp_devices=4).validate()
+    with pytest.raises(ValueError, match="classify-only"):
+        RunConfig(ref_file="x", pattern_file=pat, ms_requested=True,
+                  min_digest=False, write_report=True, report_only=True,
+                  tp_devices=4).validate()
