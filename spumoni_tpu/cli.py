@@ -69,6 +69,10 @@ def _build_parser() -> argparse.ArgumentParser:
                          "after (usually <prefix>.fa)")
     ir.add_argument("-M", "--MS", dest="ms_index", action="store_true")
     ir.add_argument("-P", "--PML", dest="pml_index", action="store_true")
+    ir.add_argument("-d", "--doc-array", dest="build_doc",
+                    action="store_true",
+                    help="rebuild the document array from the imported SA "
+                         "samples + <ref>.fdi (doc_array.cpp:18-108)")
     ir.add_argument("-m", "--minimizer-alphabet", dest="use_promotions",
                     action="store_true")
     ir.add_argument("-a", "--dna-minimizer", dest="use_dna_letters",

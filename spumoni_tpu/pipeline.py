@@ -293,12 +293,32 @@ def import_reference_build(cfg: BuildConfig) -> str:
     if cfg.ms_index and os.path.isfile(ref_path):
         with open(ref_path, "rb") as f:
             t = np.frombuffer(f.read(), dtype=np.uint8)
+        if len(t) + 1 != n and len(t) and t[0] == ord(">"):
+            # the built reference is a FASTA (RefBuilder's .fa output,
+            # refbuilder.cpp:318): the indexed text is the concatenation of
+            # its record sequences
+            from .io.fasta import read_fastx
+            t = np.frombuffer(
+                b"".join(rec.seq for rec in read_fastx(ref_path)), np.uint8)
         if len(t) + 1 == n:
             text = t
         else:
             log("import_ref", f"WARNING: {ref_path} is {len(t)} bytes but "
                               f"the BWT implies a {n - 1}-byte text; MS runs "
                               f"will emit pointers without lengths")
+
+    doc_start = doc_end = None
+    if cfg.build_doc:
+        # rebuild the document array from the imported SA samples + the
+        # .fdi sequence boundaries, exactly like the reference's -d build
+        # (doc_array.cpp:18-108 consumes .ssa/.esa + .fdi)
+        fdi = ref_path + ".fdi"
+        if not os.path.isfile(fdi):
+            raise FileNotFoundError(f"-d import needs {fdi}")
+        seq_lengths = refbuilder.read_fdi(fdi)
+        doc_start, doc_end = build_doc_arrays(raw, seq_lengths)
+        np.savez(ref_path + ".doc.npz", start_runs_doc=doc_start,
+                 end_runs_doc=doc_end)
 
     null_path = os.path.join(os.path.dirname(os.path.abspath(ref_path)),
                              "spumoni_null_reads.fa")
@@ -321,7 +341,8 @@ def import_reference_build(cfg: BuildConfig) -> str:
             continue
         kind = "ms" if want_ms else "spumoni"
         dense = build_dense_index(raw, text=text if want_ms else None,
-                                  with_samples=want_ms)
+                                  with_samples=want_ms,
+                                  doc_start=doc_start, doc_end=doc_end)
         save_dense_index(dense, f"{ref_path}.thrbv.{kind}")
         _write_stats(dense, cfg.output_prefix
                      + (".ms" if want_ms else ".pml") + "_index_stats.txt")
