@@ -314,7 +314,10 @@ def bench_tpu_digested(text, rng):
     from spumoni_tpu.engine.layered import build_layered
     from spumoni_tpu.parallel.mesh import fused_classify_kernel
 
-    B_d = 65536
+    # digested 1024 bp reads shrink to ~180-230 symbols, so the per-batch
+    # fixed scan cost (latency-floored steps) amortizes over MORE lanes:
+    # B=131072 at L=256 is the same rev-matrix footprint as 32k x 1024
+    B_d = int(os.environ.get("SPUMONI_BENCH_DIGESTED_B", 131072))
     raw_d, dtext, dreads = _digested_setup(text, rng, B_d)
     dense = build_dense_index(raw_d)
     arrays, meta, host = build_layered(dense)
@@ -443,22 +446,16 @@ def _scale_ready():
 
 
 def _device_put_chunked(a, max_mb=128):
-    """device_put in <=max_mb slices + on-device concat: a single >1 GB
-    device_put message hangs the axon tunnel (PERF_NOTES round 2)."""
-    import jax
-    import jax.numpy as jnp
-    step = max(1, (max_mb << 20) // max(1, a.nbytes // max(1, a.shape[0])))
-    if a.shape[0] <= step:
-        return jax.device_put(jnp.asarray(a))
-    parts = []
-    for i in range(0, a.shape[0], step):
-        parts.append(jax.device_put(np.ascontiguousarray(a[i:i + step])))
-        np.asarray(parts[-1].reshape(-1)[:1])  # fence: one in flight at a time
-        print(f"  h2d {min(i + step, a.shape[0])}/{a.shape[0]} rows",
-              file=sys.stderr, flush=True)
-    out = jnp.concatenate(parts, axis=0)
-    np.asarray(out.reshape(-1)[:1])
-    return out
+    """Chunked h2d (a single >1 GB device_put message hangs the axon
+    tunnel, PERF_NOTES round 2). Delegates to utils.device_put_chunked —
+    the DONATED-buffer assembler whose peak HBM is full + one slice; the
+    old concatenating version here held 2x the array at peak, which OOMed
+    the ms_scale config (text_words 4.5 GB on top of 6.9 GB of index)."""
+    from spumoni_tpu.utils import device_put_chunked
+
+    print(f"  h2d {a.nbytes / 1e6:.0f} MB chunked", file=sys.stderr,
+          flush=True)
+    return device_put_chunked(a, max_mb=max_mb)
 
 
 def bench_tpu_scale():
