@@ -118,3 +118,20 @@ def test_staged_empty_read_raises(setup):
                     np.array([0, 4, 4], np.int64))
     with pytest.raises(ValueError, match="empty after digestion"):
         eng.stage(p)
+
+
+def test_seg_expand_matches_repeat():
+    """_seg_expand (the np.repeat replacement — this numpy's repeat is ~50x
+    slow past 1e7 elements) must match np.repeat exactly, including
+    zero-length segments at the start/middle/end."""
+    from spumoni_tpu.engine.scan_engine import _seg_expand
+
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        n = int(rng.integers(1, 40))
+        lens = rng.integers(0, 6, size=n)
+        vals = rng.integers(-50, 50, size=n)
+        total = int(lens.sum())
+        got = _seg_expand(vals, lens, total)
+        assert np.array_equal(got, np.repeat(vals, lens)), (vals, lens)
+    assert _seg_expand(np.array([3, 7]), np.array([0, 0]), 0).size == 0
