@@ -609,21 +609,19 @@ def bench_tpu_ms_scale():
     print(f"  layered index resident ({time.time() - t0:.0f} s)",
           file=sys.stderr, flush=True)
 
-    # host-built text_words (≡ scan_engine.build_text_words rows, which would
-    # transiently need ~4x the text in HBM): [rows, 17] u64, row g = text
-    # words 8g..8g+16 — one row gather = any 64-byte window
+    # host-built NON-overlapping text rows (build_text_words8 layout): the
+    # [rows, 17] overlapped table holds 2.125x the text (4.5 GB here) and
+    # tipped the HBM budget over with the 6.9 GB layered index (OOM twice);
+    # the [rows, 8] table IS the text (2.1 GB) at the cost of a second
+    # (pipelined, independent) row gather per 64 B window
     nt = len(text)
-    rows = -(-nt // 64)
-    t_ = np.concatenate([text, np.zeros(rows * 64 + 136 - nt, np.uint8)])
-    words = t_.view(np.uint64)
-    tw_host = np.empty((rows, 17), np.uint64)
-    tw_host[:, 0:8] = words[:rows * 8].reshape(rows, 8)
-    tw_host[:, 8:16] = words[8:rows * 8 + 8].reshape(rows, 8)
-    tw_host[:, 16] = words[16::8][:rows]
-    del t_, words
+    rows = -(-nt // 64) + 1
+    t_ = np.concatenate([text, np.zeros(rows * 64 - nt, np.uint8)])
+    tw_host = np.ascontiguousarray(t_.view(np.uint64).reshape(rows, 8))
+    del t_
     tw = _device_put_chunked(tw_host)
     del tw_host
-    print(f"  text_words resident ({time.time() - t0:.0f} s)",
+    print(f"  text rows resident ({time.time() - t0:.0f} s)",
           file=sys.stderr, flush=True)
 
     reads = np.load(os.path.join(SCALE_CACHE, "reads.npz"))["reads"][:B_ms]
@@ -638,7 +636,7 @@ def bench_tpu_ms_scale():
         ptrs, _, _ = query_batch_kernel_v2(arrays, rev_d, meta, "ms",
                                            False, planes)
         return extend_pointers_sweep(tw, fwd_d, lens_d, ptrs[:, ::-1], nt,
-                                     None)
+                                     None, text_two_gather=True)
 
     out = step()                        # compile + warm
     lengths = np.asarray(out)           # one-time d2h for the sanity check

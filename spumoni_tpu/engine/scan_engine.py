@@ -475,6 +475,36 @@ def extend_pointers_diag(text_words: jnp.ndarray, reads: jnp.ndarray,
     return out
 
 
+def build_text_words8(text: jnp.ndarray, nt: int) -> jnp.ndarray:
+    """[ceil(nt/64)+1, 8] u64 NON-overlapping rows (the text itself,
+    reshaped): any 64-byte window spans at most rows g and g+1, so a window
+    costs TWO independent row gathers (they pipeline — PERF_NOTES round 2)
+    instead of build_text_words' one gather into a 17-word table that holds
+    2.125x the text bytes. The memory-lean choice for genome-scale MS,
+    where the overlapped table tipped the HBM budget (ms_scale OOM)."""
+    rows = -(-int(nt) // 64) + 1
+    pad = rows * 64 - int(text.shape[0])
+    t = jnp.concatenate([text, jnp.zeros((pad,), jnp.uint8)])
+    return jax.lax.bitcast_convert_type(t.reshape(rows, 8, 8), jnp.uint64)
+
+
+def _aligned_bytes64_2g(text8, bytepos):
+    """[B, 64] u8 window starting at `bytepos` from a build_text_words8
+    table: two independent row gathers + the byte butterfly."""
+    rows = text8.shape[0]
+    g = jnp.clip((bytepos >> 6).astype(jnp.int32), 0, rows - 1)
+    r0 = text8[g]
+    r1 = text8[jnp.clip(g + 1, 0, rows - 1)]
+    b = jax.lax.bitcast_convert_type(
+        jnp.concatenate([r0, r1], axis=1), jnp.uint8)
+    b = b.reshape(b.shape[0], 128)
+    off = (bytepos & 63).astype(jnp.int32)
+    for s in (32, 16, 8, 4, 2, 1):
+        take = ((off & s) != 0)[:, None]
+        b = jnp.where(take, b[:, s:], b[:, :b.shape[1] - s])
+    return b[:, :64]
+
+
 def _aligned_bytes64(rowtab, bytepos):
     """[B, 64] u8 window starting at `bytepos` from a [rows, 17]-u64 table:
     one row gather + the byte-level butterfly (as _aligned_u64x8, but stays
@@ -515,11 +545,13 @@ def _lcp_bytes(tb, rb):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nt", "chunk_positions", "K", "tail_chunk"))
+    jax.jit, static_argnames=("nt", "chunk_positions", "K", "tail_chunk",
+                              "text_two_gather"))
 def extend_pointers_sweep(text_words: jnp.ndarray, reads: jnp.ndarray,
                           read_lens: jnp.ndarray, ptrs: jnp.ndarray, nt: int,
                           text_wide, chunk_positions: int = 131072,
-                          K: int = 4, tail_chunk: int = 16384):
+                          K: int = 4, tail_chunk: int = 16384,
+                          text_two_gather: bool = False):
     """MS extension v4: BULK SINGLE PASS + compacted long tails.
 
     The chunked-while kernels (extend_pointers_diag/diag2) pay one
@@ -583,7 +615,8 @@ def extend_pointers_sweep(text_words: jnp.ndarray, reads: jnp.ndarray,
         limit = rrow * L + lens_i[jnp.clip(rrow, 0, B - 1)]
         kmax = jnp.minimum(jnp.minimum(limit - rpos0, nt - fp),
                            64).astype(i32)
-        tb = _aligned_bytes64(text_words, fp)
+        tb = (_aligned_bytes64_2g(text_words, fp) if text_two_gather
+              else _aligned_bytes64(text_words, fp))
         # the read-side window of flat position base*CH+i is CONTIGUOUS
         # (starts at that byte): 64 shifted slices of the chunk's bytes
         # replace the gather+butterfly (measured 1.51 -> 1.21 s phase A)
@@ -646,7 +679,9 @@ def extend_pointers_sweep(text_words: jnp.ndarray, reads: jnp.ndarray,
                 tb = _window_bytes_u8(text_wide, tpos, 256)
                 rb = _window_bytes_u8(rtab_g, rpos, 256)
             else:
-                tb = _aligned_bytes64(text_words, tpos)
+                tb = (_aligned_bytes64_2g(text_words, tpos)
+                      if text_two_gather
+                      else _aligned_bytes64(text_words, tpos))
                 rb = _aligned_bytes64(rtab_g, rpos)
             k = jnp.clip(jnp.minimum(_lcp_bytes(tb, rb), kmax), 0, WIN)
             l = l + jnp.where(act, k, 0).astype(dt)

@@ -290,3 +290,48 @@ def test_classify_only_matches_host_binmax(rng, make_reads):
             assert st["above"][i] == r_.bins_above, (mode, i)
             assert st["below"][i] == r_.bins_below, (mode, i)
             assert st["sum_maxes"][i] == int(r_.bin_maxes.sum()), (mode, i)
+
+
+def test_sweep_two_gather_text_matches(rng):
+    """extend_pointers_sweep with the memory-lean [rows, 8] text table
+    (build_text_words8 + two pipelined gathers per window) must produce the
+    same lengths as the [rows, 17] one-gather table."""
+    import jax.numpy as jnp
+    from spumoni_tpu.engine.scan_engine import (build_text_words,
+                                                build_text_words8,
+                                                build_text_wide,
+                                                extend_pointers_sweep)
+    from spumoni_tpu.native import build_raw_index, NativeQueryEngine
+
+    acgt = np.frombuffer(b"ACGT", np.uint8)
+    text = rng.choice(acgt, size=30_000)
+    raw = build_raw_index(text)
+    native = NativeQueryEngine(raw.n, raw.run_heads, raw.run_starts,
+                               raw.thresholds, raw.samples_start,
+                               raw.samples_last, text=text)
+    B, L = 16, 256
+    fwd = np.zeros((B, L), np.uint8)
+    lens = np.zeros((B,), np.int64)
+    reads = []
+    for i in range(B):
+        st = int(rng.integers(0, len(text) - L))
+        rd = text[st:st + L].copy()
+        mut = rng.random(L) < 0.04
+        rd[mut] = rng.choice(acgt, size=int(mut.sum()))
+        reads.append(rd.tobytes())
+        fwd[i] = rd
+        lens[i] = L
+    ptrs = native.query_ms(reads, with_lengths=False)
+    ptrs_fwd = np.stack(ptrs)
+    nt = len(text)
+    t_d = jnp.asarray(text)
+    tw17 = build_text_words(t_d, nt)
+    tw8 = build_text_words8(t_d, nt)
+    twide = build_text_wide(t_d, nt)
+    a = np.asarray(extend_pointers_sweep(
+        tw17, jnp.asarray(fwd), jnp.asarray(lens.astype(np.int64)),
+        jnp.asarray(ptrs_fwd), nt, twide))
+    b = np.asarray(extend_pointers_sweep(
+        tw8, jnp.asarray(fwd), jnp.asarray(lens.astype(np.int64)),
+        jnp.asarray(ptrs_fwd), nt, None, text_two_gather=True))
+    assert np.array_equal(a, b)
