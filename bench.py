@@ -609,15 +609,15 @@ def bench_tpu_ms_scale():
     print(f"  layered index resident ({time.time() - t0:.0f} s)",
           file=sys.stderr, flush=True)
 
-    # host-built NON-overlapping text rows (build_text_words8 layout): the
-    # [rows, 17] overlapped table holds 2.125x the text (4.5 GB here) and
-    # tipped the HBM budget over with the 6.9 GB layered index (OOM twice);
-    # the [rows, 8] table IS the text (2.1 GB) at the cost of a second
-    # (pipelined, independent) row gather per 64 B window
+    # host-built NON-overlapping [rows, 128]-u32 text rows
+    # (build_text_rows512 layout): exactly one TPU tile wide, so HBM = the
+    # text bytes (2.1 GB). The [rows, 17]-u64 overlapped table holds 2.125x
+    # the text AND pads 7.5x under T(8,128) tiling — it compiled to a
+    # 33.6 GB allocation here (the round-4 ms_scale OOM).
     nt = len(text)
-    rows = -(-nt // 64) + 1
-    t_ = np.concatenate([text, np.zeros(rows * 64 - nt, np.uint8)])
-    tw_host = np.ascontiguousarray(t_.view(np.uint64).reshape(rows, 8))
+    rows = -(-nt // 512) + 1
+    t_ = np.concatenate([text, np.zeros(rows * 512 - nt, np.uint8)])
+    tw_host = np.ascontiguousarray(t_.view(np.uint32).reshape(rows, 128))
     del t_
     tw = _device_put_chunked(tw_host)
     del tw_host

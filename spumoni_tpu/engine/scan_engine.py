@@ -475,32 +475,42 @@ def extend_pointers_diag(text_words: jnp.ndarray, reads: jnp.ndarray,
     return out
 
 
-def build_text_words8(text: jnp.ndarray, nt: int) -> jnp.ndarray:
-    """[ceil(nt/64)+1, 8] u64 NON-overlapping rows (the text itself,
-    reshaped): any 64-byte window spans at most rows g and g+1, so a window
-    costs TWO independent row gathers (they pipeline — PERF_NOTES round 2)
-    instead of build_text_words' one gather into a 17-word table that holds
-    2.125x the text bytes. The memory-lean choice for genome-scale MS,
-    where the overlapped table tipped the HBM budget (ms_scale OOM)."""
-    rows = -(-int(nt) // 64) + 1
-    pad = rows * 64 - int(text.shape[0])
+def build_text_rows512(text: jnp.ndarray, nt: int) -> jnp.ndarray:
+    """[ceil(nt/512)+1, 128] u32 NON-overlapping rows — the text itself,
+    reshaped to EXACTLY one TPU tile of minor dimension (T(8,128) tiling
+    pads the minor dim to 128 lanes: an [*, 8]-u64 row layout would inflate
+    16x in HBM — a 2.1 GB text compiled to a 33.6 GB allocation, the
+    ms_scale OOM). Any 64-byte window spans at most rows g and g+1, so a
+    window costs TWO independent row gathers (they pipeline, PERF_NOTES
+    round 2) + a word-level butterfly, vs build_text_words' one gather into
+    an overlapped 17-word table that holds 2.125x the text bytes AND pads
+    7.5x under tiling. The memory-exact choice for genome-scale MS."""
+    rows = -(-int(nt) // 512) + 1
+    pad = rows * 512 - int(text.shape[0])
     t = jnp.concatenate([text, jnp.zeros((pad,), jnp.uint8)])
-    return jax.lax.bitcast_convert_type(t.reshape(rows, 8, 8), jnp.uint64)
+    return jax.lax.bitcast_convert_type(t.reshape(rows, 128, 4), jnp.uint32)
 
 
-def _aligned_bytes64_2g(text8, bytepos):
-    """[B, 64] u8 window starting at `bytepos` from a build_text_words8
-    table: two independent row gathers + the byte butterfly."""
-    rows = text8.shape[0]
-    g = jnp.clip((bytepos >> 6).astype(jnp.int32), 0, rows - 1)
-    r0 = text8[g]
-    r1 = text8[jnp.clip(g + 1, 0, rows - 1)]
-    b = jax.lax.bitcast_convert_type(
-        jnp.concatenate([r0, r1], axis=1), jnp.uint8)
-    b = b.reshape(b.shape[0], 128)
-    off = (bytepos & 63).astype(jnp.int32)
-    for s in (32, 16, 8, 4, 2, 1):
-        take = ((off & s) != 0)[:, None]
+def _aligned_bytes64_2g(text512, bytepos):
+    """[B, 64] u8 window starting at `bytepos` from a build_text_rows512
+    table: two independent row gathers, a WORD-level butterfly (7 predicated
+    selects on [B, 256] u32 — 4x less traffic than byte-level), then a
+    2-step byte butterfly for the residual offset."""
+    rows = text512.shape[0]
+    g = jnp.clip((bytepos >> 9).astype(jnp.int32), 0, rows - 1)
+    r0 = text512[g]
+    r1 = text512[jnp.clip(g + 1, 0, rows - 1)]
+    w = jnp.concatenate([r0, r1], axis=1)               # [B, 256] u32
+    off = (bytepos & 511).astype(jnp.int32)
+    woff = off >> 2
+    for s in (64, 32, 16, 8, 4, 2, 1):
+        take = ((woff & s) != 0)[:, None]
+        w = jnp.where(take, w[:, s:], w[:, :w.shape[1] - s])
+    b = jax.lax.bitcast_convert_type(w[:, :17], jnp.uint8)
+    b = b.reshape(b.shape[0], 68)
+    rem = off & 3
+    for s in (2, 1):
+        take = ((rem & s) != 0)[:, None]
         b = jnp.where(take, b[:, s:], b[:, :b.shape[1] - s])
     return b[:, :64]
 

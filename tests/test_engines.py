@@ -298,7 +298,7 @@ def test_sweep_two_gather_text_matches(rng):
     same lengths as the [rows, 17] one-gather table."""
     import jax.numpy as jnp
     from spumoni_tpu.engine.scan_engine import (build_text_words,
-                                                build_text_words8,
+                                                build_text_rows512,
                                                 build_text_wide,
                                                 extend_pointers_sweep)
     from spumoni_tpu.native import build_raw_index, NativeQueryEngine
@@ -326,7 +326,7 @@ def test_sweep_two_gather_text_matches(rng):
     nt = len(text)
     t_d = jnp.asarray(text)
     tw17 = build_text_words(t_d, nt)
-    tw8 = build_text_words8(t_d, nt)
+    tw8 = build_text_rows512(t_d, nt)
     twide = build_text_wide(t_d, nt)
     a = np.asarray(extend_pointers_sweep(
         tw17, jnp.asarray(fwd), jnp.asarray(lens.astype(np.int64)),
