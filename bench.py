@@ -642,10 +642,24 @@ def bench_tpu_ms_scale():
     lengths = np.asarray(out)           # one-time d2h for the sanity check
     print(f"  first step done ({time.time() - t0:.0f} s)", file=sys.stderr,
           flush=True)
-    # mutated-substring reads must carry much longer matches than random ones
+    # exactness spot check: a few reads against the native oracle (random
+    # reads on a 2.1 Gbp index average MS ~ log4(n) ~ 15.6, so a LARGE
+    # statistical pos/neg gap does not exist at this scale — exact equality
+    # is the meaningful check)
+    from spumoni_tpu.native import NativeQueryEngine
+    native = NativeQueryEngine(raw.n, raw.run_heads, raw.run_starts,
+                               raw.thresholds, raw.samples_start,
+                               raw.samples_last, text=text)
+    ncheck = 4
+    _, nat_lens = native.query_ms(
+        [reads[i].tobytes() for i in range(ncheck)], threads=2)[:2]
+    for i in range(ncheck):
+        assert np.array_equal(lengths[i], nat_lens[i]), f"read {i} differs"
     pos_mean = float(lengths[::2].mean())
     neg_mean = float(lengths[1::2].mean())
-    assert pos_mean > 2 * neg_mean, (pos_mean, neg_mean)
+    assert pos_mean > neg_mean, (pos_mean, neg_mean)
+    print(f"  exact vs native on {ncheck} reads; pos_mean={pos_mean:.1f} "
+          f"neg_mean={neg_mean:.1f}", file=sys.stderr, flush=True)
 
     reps, t1 = 2, time.time()
     for _ in range(reps):
