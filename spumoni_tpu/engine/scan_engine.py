@@ -491,11 +491,13 @@ def build_text_rows512(text: jnp.ndarray, nt: int) -> jnp.ndarray:
     return jax.lax.bitcast_convert_type(t.reshape(rows, 128, 4), jnp.uint32)
 
 
-def _aligned_bytes64_2g(text512, bytepos):
-    """[B, 64] u8 window starting at `bytepos` from a build_text_rows512
-    table: two independent row gathers, a WORD-level butterfly (7 predicated
-    selects on [B, 256] u32 — 4x less traffic than byte-level), then a
-    2-step byte butterfly for the residual offset."""
+def _window_rows512(text512, bytepos, W: int):
+    """[B, W] u8 window (W <= 512) starting at `bytepos` from a
+    build_text_rows512 table: two independent row gathers, a WORD-level
+    butterfly (7 predicated selects on [B, 256] u32 — 4x less traffic than
+    byte-level), then a 2-step byte butterfly for the residual offset.
+    One tile-exact table serves BOTH the 64 B bulk pass and the 256 B
+    long-tail windows (a W<=512 window spans at most rows g, g+1)."""
     rows = text512.shape[0]
     g = jnp.clip((bytepos >> 9).astype(jnp.int32), 0, rows - 1)
     r0 = text512[g]
@@ -506,13 +508,14 @@ def _aligned_bytes64_2g(text512, bytepos):
     for s in (64, 32, 16, 8, 4, 2, 1):
         take = ((woff & s) != 0)[:, None]
         w = jnp.where(take, w[:, s:], w[:, :w.shape[1] - s])
-    b = jax.lax.bitcast_convert_type(w[:, :17], jnp.uint8)
-    b = b.reshape(b.shape[0], 68)
+    nw = W // 4 + 1
+    b = jax.lax.bitcast_convert_type(w[:, :nw], jnp.uint8)
+    b = b.reshape(b.shape[0], 4 * nw)
     rem = off & 3
     for s in (2, 1):
         take = ((rem & s) != 0)[:, None]
         b = jnp.where(take, b[:, s:], b[:, :b.shape[1] - s])
-    return b[:, :64]
+    return b[:, :W]
 
 
 def _aligned_bytes64(rowtab, bytepos):
@@ -604,7 +607,9 @@ def extend_pointers_sweep(text_words: jnp.ndarray, reads: jnp.ndarray,
     while BL % CH:
         CH //= 2
     nch = BL // CH
-    WIN = 256 if text_wide is not None else 64   # phase-B window bytes
+    # phase-B window bytes: 256 with a wide text table OR the rows512
+    # two-gather table (which serves any W <= 512 at zero extra HBM)
+    WIN = 256 if (text_wide is not None or text_two_gather) else 64
     ROWS_G = BL // WIN + 2
     stride_g = WIN // 8
     gpad = (ROWS_G + 2) * stride_g * 8 - BL      # covers the global rows
@@ -625,7 +630,7 @@ def extend_pointers_sweep(text_words: jnp.ndarray, reads: jnp.ndarray,
         limit = rrow * L + lens_i[jnp.clip(rrow, 0, B - 1)]
         kmax = jnp.minimum(jnp.minimum(limit - rpos0, nt - fp),
                            64).astype(i32)
-        tb = (_aligned_bytes64_2g(text_words, fp) if text_two_gather
+        tb = (_window_rows512(text_words, fp, 64) if text_two_gather
               else _aligned_bytes64(text_words, fp))
         # the read-side window of flat position base*CH+i is CONTIGUOUS
         # (starts at that byte): 64 shifted slices of the chunk's bytes
@@ -686,12 +691,12 @@ def extend_pointers_sweep(text_words: jnp.ndarray, reads: jnp.ndarray,
             kmax = jnp.minimum(jnp.minimum(limit - rpos, nt - tpos),
                                WIN).astype(i32)
             if WIN == 256:
-                tb = _window_bytes_u8(text_wide, tpos, 256)
+                tb = (_window_rows512(text_words, tpos, 256)
+                      if text_two_gather
+                      else _window_bytes_u8(text_wide, tpos, 256))
                 rb = _window_bytes_u8(rtab_g, rpos, 256)
             else:
-                tb = (_aligned_bytes64_2g(text_words, tpos)
-                      if text_two_gather
-                      else _aligned_bytes64(text_words, tpos))
+                tb = _aligned_bytes64(text_words, tpos)
                 rb = _aligned_bytes64(rtab_g, rpos)
             k = jnp.clip(jnp.minimum(_lcp_bytes(tb, rb), kmax), 0, WIN)
             l = l + jnp.where(act, k, 0).astype(dt)
