@@ -314,10 +314,13 @@ def bench_tpu_digested(text, rng):
     from spumoni_tpu.engine.layered import build_layered
     from spumoni_tpu.parallel.mesh import fused_classify_kernel
 
-    # digested 1024 bp reads shrink to ~180-230 symbols, so the per-batch
-    # fixed scan cost (latency-floored steps) amortizes over MORE lanes:
-    # B=131072 at L=256 is the same rev-matrix footprint as 32k x 1024
-    B_d = int(os.environ.get("SPUMONI_BENCH_DIGESTED_B", 131072))
+    # Lane-count sweep (round 4, interleaved): B=65536 433k, 131072 436k,
+    # 262144 317k reads/s — the digested kernel (L=256, sigma~200 planes)
+    # is throughput-bound, not latency-floored, so B buys nothing. Note
+    # the 1.45x-vs-CPU ratio of this config reflects that the digested
+    # 5 Mbp reference indexes to ~1.1 Mbp, which fits the CPU's LLC
+    # (UNMEASURED at genome scale — see PERF_NOTES round 4).
+    B_d = int(os.environ.get("SPUMONI_BENCH_DIGESTED_B", 65536))
     raw_d, dtext, dreads = _digested_setup(text, rng, B_d)
     dense = build_dense_index(raw_d)
     arrays, meta, host = build_layered(dense)
