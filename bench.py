@@ -586,11 +586,11 @@ def bench_tpu_ms_scale():
     """Full MS mode (-M: pointer scan + text extension) at human-genome
     scale — the 2.1 Gbp / r~1.5e8 index of the scale config.  Engine v2
     (layered) runs the pointer scan (v4's block-bits rows carry no SA
-    samples) and the bulk-sweep extension compares against a host-prebuilt
-    text_words table.  HBM budget (v5e, 16 GB): fields ~6.1 GB + levels
-    ~0.8 GB + text_words ~4.5 GB; the raw text and the 256 B text_wide
-    table stay OFF device (the sweep's phase B falls back to 64 B windows,
-    scan_engine.py:558)."""
+    samples) and the bulk-sweep extension compares against the tile-exact
+    [nt/512, 128]-u32 text rows (build_text_rows512: HBM = the text bytes,
+    2.1 GB; serves both the 64 B bulk pass and the 256 B long-tail
+    windows).  HBM budget (v5e, 16 GB): fields + levels ~6.9 GB + text
+    rows 2.1 GB."""
     import jax
     import jax.numpy as jnp
     from spumoni_tpu.engine.layered import build_layered
