@@ -783,6 +783,22 @@ def main():
         "unit": "reads/s (1024bp)",
         "vs_baseline": round(tpu_reads_s / cpu32_reads_s, 3),
     }
+    # GRCh38-scale (6.2 Gbp through pipeline.build/run): report the latest
+    # measured artifacts on stderr when present (scripts/grch38_scale.py
+    # run/cpu write them; re-measuring inline would add ~12 min of index
+    # load + upload per bench invocation)
+    g38 = os.path.join(CACHE, "grch38")
+    try:
+        with open(os.path.join(g38, "run_result.json")) as f:
+            gr = json.load(f)
+        with open(os.path.join(g38, "cpu_result.json")) as f:
+            gc = json.load(f)
+        gr["vs_baseline_stream"] = round(
+            gr.get("stream_reads_per_s", 0) / max(gc["value"], 1e-9), 3)
+        print(json.dumps(gr), file=sys.stderr, flush=True)
+        print(json.dumps(gc), file=sys.stderr, flush=True)
+    except (OSError, KeyError, ValueError):
+        pass
     if _scale_ready():
         print(json.dumps(small), file=sys.stderr, flush=True)
         print(json.dumps(_scale_line()))

@@ -40,6 +40,10 @@ def log(tag: str, msg: str) -> None:
     print(f"[{tag}] {msg}", flush=True)
 
 
+#: stats of the most recent run()'s streaming loop (see run())
+LAST_RUN_STATS: dict = {}
+
+
 # ---------------------------------------------------------------------------
 # build
 # ---------------------------------------------------------------------------
@@ -971,6 +975,9 @@ def run(cfg: RunConfig) -> int:
         num_reads = gt
     log("run", f"processed {num_reads} reads ({total_bases} bases) in "
                f"{dt:.2f}s -> {num_reads / max(dt, 1e-9):.1f} reads/s")
+    # streaming-loop stats for harnesses (excludes index load/upload, which
+    # a long-running service pays once): bench scripts read this after run()
+    LAST_RUN_STATS.update(reads=num_reads, bases=total_bases, stream_s=dt)
     return num_reads
 
 
