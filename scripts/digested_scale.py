@@ -1,0 +1,169 @@
+#!/usr/bin/env python
+"""Promotion-digested classification AT GENOME SCALE — the reference's
+default mode (spumoni.cpp:294-342) at its stated scale (README.md:4-6).
+
+The small-config digested ratio (~0.76-1.45x vs CPU) is a cache artifact:
+a digested 5 Mbp reference indexes to ~1.1 Mbp, which fits the CPU's LLC.
+This config digests the 2.1 Gbp scale pangenome (-> ~450 Mbp promoted
+text), so the CPU is DRAM-bound again, and measures both sides.
+
+  tpu   digest text+reads, build index (cached), fused classify on chip
+  cpu   32-thread-extrapolated native baseline on the same digested index
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+CACHE = os.path.join(os.path.expanduser("~"), ".cache", "spumoni_tpu",
+                     "bench", "digested_scale")
+B, L = 131072, 1024
+
+
+def log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def _assets():
+    """Digested text/raw-index/reads, cached (CPU-only; built once)."""
+    import bench
+    from spumoni_tpu.io.minimizers import digest_packed, digest_promotion
+    from spumoni_tpu.io.fastx_batch import PackedReads
+    from spumoni_tpu.native import RawIndex, build_raw_index
+
+    os.makedirs(CACHE, exist_ok=True)
+    raw_path = os.path.join(CACHE, "raw.npz")
+    reads_path = os.path.join(CACHE, "dreads.npz")
+    if os.path.exists(raw_path) and os.path.exists(reads_path):
+        d = np.load(raw_path)
+        raw = RawIndex(int(d["n"]), d["run_heads"], d["run_starts"],
+                       d["thresholds"], d["samples_start"], d["samples_last"])
+        r = np.load(reads_path)
+        return raw, r["buf"], r["offs"]
+
+    t0 = time.time()
+    text = bench._scale_text()
+    log(f"scale text regenerated ({time.time()-t0:.0f} s)")
+    dtext = np.frombuffer(digest_promotion(text.tobytes()), np.uint8)
+    log(f"digested: {len(text)/1e9:.2f} Gbp -> {len(dtext)/1e6:.0f} Mbp "
+        f"({time.time()-t0:.0f} s)")
+    # digested reads via the whole-batch production path
+    reads = bench.make_reads(np.random.default_rng(1), text, B, L)
+    buf = reads.reshape(-1)
+    offs = np.arange(B + 1, dtype=np.int64) * L
+    pk = digest_packed(PackedReads([str(i) for i in range(B)], buf, offs),
+                       True, False)
+    np.savez(reads_path, buf=pk.buf, offs=pk.offs)
+    log(f"reads digested ({time.time()-t0:.0f} s)")
+    del text, reads
+    raw = build_raw_index(dtext)
+    log(f"index built: n={raw.n} r={raw.r} ({time.time()-t0:.0f} s)")
+    np.savez(raw_path, n=raw.n, run_heads=raw.run_heads,
+             run_starts=raw.run_starts, thresholds=raw.thresholds,
+             samples_start=raw.samples_start, samples_last=raw.samples_last)
+    return raw, pk.buf, pk.offs
+
+
+def tpu(args):
+    import jax
+    import jax.numpy as jnp
+    from spumoni_tpu.engine.layered import build_layered
+    from spumoni_tpu.engine.scan_engine import _pack_rows
+    from spumoni_tpu.index.format import build_dense_index
+    from spumoni_tpu.parallel.mesh import fused_classify_kernel
+    from spumoni_tpu.utils import device_put_chunked, present_chars
+
+    raw, buf, offs = _assets()
+    t0 = time.time()
+    dense = build_dense_index(raw)
+    arrays, meta, host = build_layered(dense)
+    log(f"layered index resident ({time.time()-t0:.0f} s)")
+
+    lens = np.diff(offs)
+    Ld = 256
+    rev = _pack_rows(buf, offs, np.arange(B), B, Ld, reverse=True)
+    lens = np.minimum(lens, Ld)
+    alphabet = tuple(sorted({0} | set(int(c) for c in host.index_chars)
+                            | set(int(x) for x in present_chars(rev))))
+    planes = host.planes_for_alphabet(alphabet)
+    rev = host.rank_map(alphabet)[rev]
+    rev_d = device_put_chunked(rev)
+    lens_d = jax.device_put(jnp.asarray(lens))
+    rp = int(arrays.fields.shape[0])
+    bin_width, thr = 150, 4
+
+    def step():
+        return fused_classify_kernel(arrays, rev_d, lens_d, thr, meta,
+                                     "pml", rp, bin_width, planes)
+
+    f, a, b_, s = step()
+    found = np.asarray(f)
+    log(f"first step done ({time.time()-t0:.0f} s); "
+        f"pos_found={found[::2].mean():.4f} neg_found={found[1::2].mean():.4f}")
+    assert found[::2].mean() > 0.95 and found[1::2].mean() < 0.05, \
+        (found[::2].mean(), found[1::2].mean())
+    reps, t1 = 3, time.time()
+    for _ in range(reps):
+        f, a, b_, s = step()
+    np.asarray(f)
+    dt = (time.time() - t1) / reps
+    res = {"metric": "pml_digested_classify_reads_per_s_chip_scale",
+           "value": round(B / dt, 2),
+           "unit": "reads/s (1024bp raw, promotion-digested, 2.1 Gbp ref)"}
+    print(json.dumps(res), flush=True)
+    with open(os.path.join(CACHE, "tpu_result.json"), "w") as f_:
+        json.dump(res, f_)
+
+
+def cpu(args):
+    import subprocess
+
+    _assets()  # ensure cache
+    n_reads = 64
+    code = f"""
+import os, sys, time
+import numpy as np
+sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
+from spumoni_tpu.native import NativeQueryEngine
+d = np.load(os.path.join({CACHE!r}, "raw.npz"))
+eng = NativeQueryEngine(int(d["n"]), d["run_heads"], d["run_starts"],
+                        d["thresholds"], d["samples_start"], d["samples_last"])
+r = np.load(os.path.join({CACHE!r}, "dreads.npz"))
+buf, offs = r["buf"], r["offs"]
+reads = [buf[offs[i]:offs[i+1]].tobytes() for i in range({n_reads})]
+threads = os.cpu_count() or 1
+eng.query_pml(reads[:4], threads=threads)
+t0 = time.time()
+eng.query_pml(reads, threads=threads)
+print(len(reads) / (time.time() - t0) / threads)
+"""
+    out = subprocess.run([sys.executable, "-c", code], check=True,
+                         capture_output=True, text=True,
+                         env=dict(os.environ, JAX_PLATFORMS="cpu"))
+    per_thread = float(out.stdout.strip().splitlines()[-1])
+    res = {"metric": "pml_digested_cpu32_reads_per_s_scale",
+           "value": round(per_thread * 32, 2),
+           "unit": "reads/s (1024bp raw, 32-thread linear extrapolation)"}
+    print(json.dumps(res), flush=True)
+    with open(os.path.join(CACHE, "cpu_result.json"), "w") as f_:
+        json.dump(res, f_)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("cmd", choices=["tpu", "cpu", "assets"])
+    args = ap.parse_args()
+    if args.cmd == "assets":
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        _assets()
+        return
+    {"tpu": tpu, "cpu": cpu}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    main()
