@@ -224,6 +224,36 @@ def test_sharded_ms_and_doc_modes(tmp_path, rng):
         assert outputs["cpu"][ext] == outputs["tpu"][ext], ext
 
 
+def test_fastq_query_staged_path(tmp_path, rng):
+    """A FASTQ query file through the device run (staged array-native
+    parse): outputs byte-identical to the same reads as FASTA."""
+    genome_path = str(tmp_path / "g.fa")
+    seqs = _write_genome(genome_path, rng, contigs=(("chr1", 12000),))
+    genome = "".join(seqs.values())
+    fa = str(tmp_path / "q.fa")
+    fq = str(tmp_path / "q.fq")
+    _write_reads(fa, rng, genome, n_pos=4, n_neg=4, m=300)
+    recs = []
+    with open(fa) as f:
+        lines = f.read().split()
+        for i in range(0, len(lines), 2):
+            recs.append((lines[i][1:], lines[i + 1]))
+    with open(fq, "w") as f:
+        for name, seq in recs:
+            f.write(f"@{name}\n{seq}\n+\n{'I' * len(seq)}\n")
+    build(BuildConfig(ref_file=genome_path, output_prefix=str(tmp_path / "i"),
+                      pml_index=True, use_minimizers=False))
+    outs = {}
+    for pat in (fa, fq):
+        run(RunConfig(ref_file=str(tmp_path / "i"), pattern_file=pat,
+                      pml_requested=True, min_digest=False,
+                      write_report=True))
+        outs[pat] = (open(pat + ".pseudo_lengths", "rb").read(),
+                     open(pat + ".report", "rb").read().replace(
+                         os.path.basename(pat).encode(), b"X"))
+    assert outs[fa][0] == outs[fq][0]
+
+
 def test_general_text(tmp_path, rng):
     data = bytes(rng.integers(97, 123, size=30000).astype(np.uint8))
     ref_path = str(tmp_path / "corpus.txt")
