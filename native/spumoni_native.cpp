@@ -1350,6 +1350,9 @@ i64 spn_fastx_extract(const u8* data, i64 n, int fastq, int do_upper,
     if (fastq) {
         while (i < n) {
             if (data[i] == '\n') { ++i; continue; }   // defensive blank lines
+            if (data[i] == '\r' && i + 1 < n && data[i + 1] == '\n') {
+                i += 2; continue;                     // '\r\n' blank line
+            }
             if (data[i] != '@') return -1;
             i64 hs = i + 1;
             while (i < n && data[i] != '\n') ++i;
@@ -1373,6 +1376,9 @@ i64 spn_fastx_extract(const u8* data, i64 n, int fastq, int do_upper,
     }
     while (i < n) {
         if (data[i] == '\n') { ++i; continue; }
+        if (data[i] == '\r' && i + 1 < n && data[i + 1] == '\n') {
+            i += 2; continue;                         // '\r\n' blank line
+        }
         if (data[i] != '>') return -1;
         i64 hs = i + 1;
         while (i < n && data[i] != '\n') ++i;

@@ -1122,6 +1122,7 @@ class ScanEngine:
         self.nt = int(arrays.text.shape[0]) if arrays.text is not None else 0
         self._text_words = None  # built lazily for the MS extension
         self._text_wide = None   # 256 B-window table (extension phase 2)
+        self._text_two_gather = False  # set by _ensure_text_words (rows512)
         self._stage_alpha = None  # staged path: cached (growing) alphabet
         self._stage_amap = None   # 256-byte LUT for it (255 = uncovered)
         self.mesh = None          # data-parallel mesh (to_mesh)
@@ -1268,15 +1269,12 @@ class ScanEngine:
                 ptrs_fwd = np.zeros((B, L), dtype=vals.dtype)
                 for i in range(nreads):
                     ptrs_fwd[i, :lens[i]] = vals[i, :lens[i]][::-1]
-                if self._text_words is None:
-                    self._text_words = build_text_words(self.arrays.text,
-                                                        self.nt)
-                    self._text_wide = build_text_wide(self.arrays.text,
-                                                      self.nt)
+                self._ensure_text_words()
                 lens_mat = np.array(extend_pointers_sweep(
                     self._text_words, jnp.asarray(fwd),
                     jnp.asarray(lens.astype(vals.dtype)),
-                    jnp.asarray(ptrs_fwd), self.nt, self._text_wide))
+                    jnp.asarray(ptrs_fwd), self.nt, self._text_wide,
+                    text_two_gather=self._text_two_gather))
                 # Reads with any pointer <= 0 (reset artifacts / unsigned
                 # underflow from index-absent chars) take the reference's
                 # QUIRK path: the extension carry l = max(l-1, 0) applies
@@ -1354,12 +1352,10 @@ class ScanEngine:
         dt = ptrs_rev.dtype
         lens_dt = lens_d.astype(dt)
         ptrs_fwd_d = _flip_rows(ptrs_rev, lens_dt)
-        if self._text_words is None:
-            self._text_words = build_text_words(self.arrays.text, self.nt)
-            self._text_wide = build_text_wide(self.arrays.text, self.nt)
+        self._ensure_text_words()
         lens_mat = extend_pointers_sweep(
             self._text_words, jnp.asarray(fwd), lens_dt, ptrs_fwd_d, self.nt,
-            self._text_wide)
+            self._text_wide, text_two_gather=self._text_two_gather)
         max_bins = max(1, -(-L // bin_width))
         found, above, below, summ = binmax_values_kernel(
             lens_mat, lens_dt, thr, bin_width, max_bins)
@@ -1721,14 +1717,20 @@ class ScanEngine:
                                   use_doc, self.r)
 
     def _ensure_text_words(self):
+        """Lazily builds the MS-extension text table. Production uses the
+        tile-exact rows512 layout (build_text_rows512 + text_two_gather):
+        the overlapped build_text_words/_wide tables hold 2.125x the text
+        bytes and inflate ~16x under TPU T(8,128) tiling — the genome-scale
+        OOM PERF_NOTES round 4 documents. rows512 is memory-exact (1.0x)
+        and measured speed-neutral (10.79k vs 10.88k reads/s at 2.1 Gbp)."""
         if self._text_words is None:
-            self._text_words = build_text_words(self.arrays.text, self.nt)
-            self._text_wide = build_text_wide(self.arrays.text, self.nt)
+            self._text_words = build_text_rows512(self.arrays.text, self.nt)
+            self._text_wide = None
+            self._text_two_gather = True
             if self.mesh is not None:
                 from ..parallel.mesh import replicate_index
                 self._text_words = replicate_index(self._text_words,
                                                    self.mesh)
-                self._text_wide = replicate_index(self._text_wide, self.mesh)
 
     def _classify_ms_dev(self, g, L, bin_width, thr):
         """MS classify for one staged group: scan -> on-device extension ->
@@ -1745,7 +1747,7 @@ class ScanEngine:
         self._ensure_text_words()
         lens_mat = extend_pointers_sweep(
             self._text_words, fwd_d, lens_dt, ptrs_fwd_d, self.nt,
-            self._text_wide)
+            self._text_wide, text_two_gather=self._text_two_gather)
         max_bins = max(1, -(-L // bin_width))
         found, above, below, summ = binmax_values_kernel(
             lens_mat, lens_dt, thr, bin_width, max_bins)
@@ -1814,7 +1816,8 @@ class ScanEngine:
                 self._ensure_text_words()
                 lens_mat = np.array(extend_pointers_sweep(
                     self._text_words, fwd_d, lens_dt, ptrs_fwd_d,
-                    self.nt, self._text_wide))
+                    self.nt, self._text_wide,
+                    text_two_gather=self._text_two_gather))
                 anom = np.nonzero(np.asarray(
                     _anomalous_mask(ptrs_fwd_d, lens_dt))[:nsel])[0]
                 if len(anom):

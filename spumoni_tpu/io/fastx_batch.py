@@ -197,13 +197,22 @@ def iter_packed_batches(path: str, batch_bases: int = 4_000_000,
                         continue
                     cut += 1
                 else:
-                    nl = np.flatnonzero(
-                        np.frombuffer(blob, np.uint8) == 10)
-                    ngroups = len(nl) // 4
+                    # count only newlines that terminate NON-EMPTY lines:
+                    # the parsers tolerate blank lines ('' / '\r'), so a raw
+                    # newline count would desynchronize the 4-line grouping
+                    # and cut mid-record
+                    barr = np.frombuffer(blob, np.uint8)
+                    nl = np.flatnonzero(barr == 10)
+                    lstart = np.concatenate([[0], nl[:-1] + 1])
+                    llen = nl - lstart
+                    blank = (llen == 0) | ((llen == 1)
+                                           & (barr[lstart] == 13))
+                    nle = nl[~blank]
+                    ngroups = len(nle) // 4
                     if ngroups <= 1:
                         carry = blob
                         continue
-                    cut = int(nl[4 * (ngroups - 1) - 1]) + 1
+                    cut = int(nle[4 * (ngroups - 1) - 1]) + 1
                 carry = blob[cut:]
                 blob = blob[:cut]
             else:

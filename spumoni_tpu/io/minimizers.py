@@ -206,9 +206,12 @@ def digest_packed(p, use_promotions: bool, use_dna_letters: bool,
     short = lens < w
 
     # starts-prefix-sum S: S[g] = number of read starts <= g, so a base span
-    # [g, g+span) stays within one read iff S[g] == S[g+span-1]
+    # [g, g+span) stays within one read iff S[g] == S[g+span-1].
+    # np.add.at (not fancy-index assignment) so zero-length reads — whose
+    # start offset coincides with the next read's — still count: otherwise
+    # rid = S[idx]-1 attributes the NEXT read's minimizers to the empty read.
     startmark = np.zeros(n + w, np.int32)
-    startmark[offs[:-1]] = 1
+    np.add.at(startmark, offs[:-1], 1)
     S = np.cumsum(startmark)
 
     nk = n - k + 1

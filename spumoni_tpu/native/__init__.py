@@ -135,8 +135,20 @@ def fastx_extract(data: np.ndarray, fastq: bool, upper: bool = False):
     data = np.ascontiguousarray(data, dtype=np.uint8)
     n = len(data)
     seq = np.empty(n, dtype=np.uint8)
-    offs = np.empty(n // 4 + 2, dtype=np.int64)
-    idpos = np.empty(n // 2 + 2, dtype=np.int64)
+    # Size the record-indexed outputs by a TIGHT record-count bound, not
+    # n//4: degenerate records are as small as 2 bytes ('>\n'), so n//4
+    # under-allocates up to 2x and the native writer (offs[nr+1],
+    # idpos[2nr+1]) corrupts the heap. FASTA records each consume exactly
+    # one '>' byte (the sequence scan stops at '>'), so count('>') bounds
+    # nr; FASTQ records are >= 5 bytes ('@\n\n+\n' with an unterminated
+    # empty quality line), plus 1 for a trailing partial the parser touches
+    # before rejecting.
+    if fastq:
+        nmax = n // 5 + 2
+    else:
+        nmax = int(np.count_nonzero(data == ord(">"))) + 2
+    offs = np.empty(nmax + 1, dtype=np.int64)
+    idpos = np.empty(2 * nmax + 2, dtype=np.int64)
     nr = get_lib().spn_fastx_extract(_p_u8(data), n, int(fastq), int(upper),
                                      _p_u8(seq), _p_i64(offs), _p_i64(idpos))
     if nr < 0:

@@ -89,6 +89,38 @@ def test_upper_packed(tmp_path):
     assert u.buf.tobytes() == b"ACGT\xffNN"
 
 
+def test_fasta_degenerate_header_only_records(tmp_path):
+    """2-byte '>\\n' records: up to n/2 records per chunk — the native
+    extract's record-indexed outputs must be sized for that, not n/4
+    (ADVICE r4 high: heap corruption on repeated '>\\n')."""
+    path = str(tmp_path / "deg.fa")
+    with open(path, "wb") as f:
+        f.write(b">\n" * 5000)          # 5000 empty-header, empty-seq records
+        f.write(b">last\nACGT\n")
+    got = []
+    for p in iter_packed_batches(path, batch_bases=10**9):
+        got.extend(unpack(p))
+    assert len(got) == 5001
+    assert got[-1] == ("last", b"ACGT")
+    assert all(s == b"" for _, s in got[:-1])
+
+
+def test_fastq_blank_lines_across_chunk_cut(tmp_path):
+    """Blank lines ('' and '\\r') between FASTQ records must not
+    desynchronize the 4-line chunk-cut grouping (ADVICE r4 low)."""
+    path = str(tmp_path / "bl.fq")
+    with open(path, "wb") as f:
+        for i in range(60):
+            seq = b"ACGTACGTAC" * (i % 5 + 1)
+            f.write(b"@r%d\n" % i + seq + b"\n+\n" + b"I" * len(seq) + b"\n")
+            if i % 3 == 0:
+                f.write(b"\n")          # blank line between records
+            if i % 7 == 0:
+                f.write(b"\r\n")        # CRLF blank line
+    for cb in (64, 97, 128, 301):
+        roundtrip(path, chunk_bytes=cb)
+
+
 def test_empty_file(tmp_path):
     path = str(tmp_path / "e.fa")
     open(path, "w").close()
@@ -148,6 +180,27 @@ def test_digest_packed_no_short_reads_fastpath():
     for i, rd in enumerate(reads):
         assert out.buf[out.offs[i]:out.offs[i + 1]].tobytes() == \
             digest(rd, True, False)
+
+
+def test_digest_packed_zero_length_read():
+    """A zero-length read shares its start offset with the next read; the
+    start prefix-sum must count duplicate offsets (np.add.at) or the next
+    read's minimizers get attributed to the empty read (ADVICE r4 medium)."""
+    from spumoni_tpu.io.minimizers import digest, digest_packed
+
+    rng = np.random.default_rng(3)
+    long1 = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=50).tobytes()
+    long2 = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=40).tobytes()
+    for reads in ([b"ACGTACGTACGTACG", b"", b"ACGTGGTTCCAAGGT"],
+                  [b"", long1, b"", b"", long2, b""],
+                  [b""] * 3):
+        p = _mk_packed(reads)
+        for up, ud in ((True, False), (False, True)):
+            out = digest_packed(p, up, ud)
+            for i, rd in enumerate(reads):
+                want = digest(rd, up, ud)
+                got = out.buf[out.offs[i]:out.offs[i + 1]].tobytes()
+                assert got == want, (up, ud, i, got, want)
 
 
 def test_digest_packed_passthrough():
