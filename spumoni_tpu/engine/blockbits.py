@@ -77,7 +77,15 @@ class BitArrays(NamedTuple):
     last_run_sample: jnp.ndarray   # carried for initial_state compat
     last_run_edoc: jnp.ndarray
     first_run_sdoc: jnp.ndarray
-    text: Optional[jnp.ndarray] = None  # unused (PML never extends)
+    text: Optional[jnp.ndarray] = None  # [nt] u8 (MS extension)
+    # --- v4-MS side table (one INDEPENDENT gather riding next to THE
+    # dependent row gather — independent gathers pipeline, PERF_NOTES r2) ---
+    msrows: Optional[jnp.ndarray] = None  # [nb, Wm] i32 (run-rank layout)
+    # jump tables indexed by jidx (see make_blockbits_ms_step_fn):
+    #   jump_t[2j] = c_ssamp[j], [2j+1] = c_esamp[j],
+    #   [2r] = 0 (empty-char reset), [2r+1] = last_run_sample (seed)
+    jump_t: Optional[jnp.ndarray] = None  # [2r+2] i32/i64 SA samples
+    jump_d: Optional[jnp.ndarray] = None  # [2r+2] i32 doc ids (same layout)
 
 
 class BitMeta(NamedTuple):
@@ -107,6 +115,11 @@ class BitMeta(NamedTuple):
     # to the layered TP path: v4 does exactly one probe). The >HBM escape
     # hatch for indexes past a chip's HBM (parallel/tp.py).
     tp_axis: Optional[str] = None
+    # --- v4-MS fields ---
+    has_ms: bool = False   # msrows + jump_t present (MS / doc tracking)
+    ms_width: int = 0      # msrows row width (i32 words)
+    r: int = 0             # run count (jidx slots: EMPTY = 2r, INIT = 2r+1)
+    term_runidx: int = -1  # char-grouped run index of the terminator run
 
 
 def _pack_of(idx) -> Optional[int]:
@@ -193,7 +206,9 @@ def _bb_cache_key(idx, P: int, pack: int, wide: bool) -> np.ndarray:
 
 def build_blockbits(idx, P: Optional[int] = None, pack: Optional[int] = None,
                     wide: Optional[bool] = None,
-                    cache_path: Optional[str] = None):
+                    cache_path: Optional[str] = None,
+                    want_ms: bool = False, want_doc: bool = False,
+                    ms_cache_path: Optional[str] = None):
     """DenseIndex -> (BitArrays on device, BitMeta, OccHost).
 
     wide=True (auto past 2^31 positions) switches to the split-checkpoint
@@ -203,7 +218,12 @@ def build_blockbits(idx, P: Optional[int] = None, pack: Optional[int] = None,
     the expensive part (~8 min at 2 Gbp) and is deterministic in the index
     content, so `run` invocations after the first load it from disk (the
     reference's analog: the serialized .thrbv index IS its run-time form,
-    thresholds_ds.hpp load)."""
+    thresholds_ds.hpp load).
+
+    want_ms / want_doc: additionally build the v4-MS side structures
+    (run-rank msrows + jump tables, see build docstring of
+    make_blockbits_ms_step_fn) enabling MS queries and doc tracking on
+    this engine. ms_cache_path caches the msrows like cache_path."""
     n = int(idx.n)
     if wide is None:
         wide = n >= 2**31
@@ -216,10 +236,15 @@ def build_blockbits(idx, P: Optional[int] = None, pack: Optional[int] = None,
         P = pick_P(n, pack, over_cliff=True, wide=wide)
         assert P is not None, "n too large for block-bits (use engine v2)"
     assert P % 32 == 0 and P & (P - 1) == 0
+    if want_ms:
+        assert idx.c_ssamp is not None, "MS needs an index with SA samples"
+    if want_doc:
+        assert idx.c_sdoc is not None, "doc tracking needs a doc-array index"
 
     import os
 
     cache_key = None
+    rows_cached = None
     if cache_path is not None:
         cache_key = _bb_cache_key(idx, P, pack, wide)
         if os.path.exists(cache_path):
@@ -227,9 +252,15 @@ def build_blockbits(idx, P: Optional[int] = None, pack: Optional[int] = None,
                 d = np.load(cache_path)
                 if (d["key"].shape == cache_key.shape
                         and (d["key"] == cache_key).all()):
-                    return _assemble_blockbits(idx, d["rows"], P, pack, wide)
+                    rows_cached = d["rows"]
             except Exception:
                 pass  # unreadable/stale cache: rebuild below
+    if rows_cached is not None:
+        msrows = _build_msrows(idx, P, pack, ms_cache_path, cache_key) \
+            if (want_ms or want_doc) else None
+        return _assemble_blockbits(idx, rows_cached, P, pack, wide,
+                                   msrows=msrows, want_ms=want_ms,
+                                   want_doc=want_doc)
 
     cnt = np.asarray(idx.cnt, dtype=np.int64)
     F = np.asarray(idx.F, dtype=np.int64)
@@ -356,16 +387,86 @@ def build_blockbits(idx, P: Optional[int] = None, pack: Optional[int] = None,
         tmp = cache_path + ".tmp.npz"
         np.savez(tmp, key=cache_key, rows=rows)
         os.replace(tmp, cache_path)
-    return _assemble_blockbits(idx, rows, P, pack, wide)
+    msrows = _build_msrows(idx, P, pack, ms_cache_path, cache_key) \
+        if (want_ms or want_doc) else None
+    return _assemble_blockbits(idx, rows, P, pack, wide, msrows=msrows,
+                               want_ms=want_ms, want_doc=want_doc)
 
 
-def _assemble_blockbits(idx, rows: np.ndarray, P: int, pack: int, wide: bool):
+def _ms_width(P: int, pack: int) -> int:
+    nslots = MAX_SIGMA2 if pack == 2 else MAX_SIGMA4
+    return nslots * (1 + P // 32)
+
+
+def _build_msrows(idx, P: int, pack: int,
+                  cache_path: Optional[str] = None,
+                  cache_key: Optional[np.ndarray] = None) -> np.ndarray:
+    """[nb, Wm] i32 run-rank rows for the v4-MS step: per code slot k,
+    one char-LOCAL run-rank checkpoint (count of code-char-k runs starting
+    before the block) followed by P/32 words of RUN-START bits (bit (k,pos)
+    = a run of code-char k starts at pos). In-block char-local run rank is
+    then checkpoint + popcount(start bits below pos) — the same SWAR
+    pattern as the main row's up-bits, one independent gather away."""
+    import os
+
+    n = int(idx.n)
+    r = int(idx.r)
+    assert r < 2**30, "v4-MS jump ids are int32 (2r+2 slots)"
+    nslots = MAX_SIGMA2 if pack == 2 else MAX_SIGMA4
+    wpc = P // 32
+    Wm = _ms_width(P, pack)
+    nb = -(-n // P)
+
+    if cache_path is not None and cache_key is not None \
+            and os.path.exists(cache_path):
+        try:
+            d = np.load(cache_path)
+            if (d["key"].shape == cache_key.shape
+                    and (d["key"] == cache_key).all()
+                    and d["msrows"].shape == (nb, Wm)):
+                return d["msrows"]
+        except Exception:
+            pass
+
+    cnt = np.asarray(idx.cnt, dtype=np.int64)
+    index_chars = np.nonzero(cnt)[0]
+    if pack == 2:
+        code_chars = [c for c in index_chars if c != TERM_BYTE]
+    else:
+        code_chars = list(index_chars)
+    char_off = np.asarray(idx.char_off, dtype=np.int64)
+    c_start = np.asarray(idx.c_start, dtype=np.int64)
+
+    msrows = np.zeros((nb, Wm), dtype=np.uint32)
+    block_starts = np.arange(nb, dtype=np.int64) * P
+    for k, ch in enumerate(code_chars):
+        cs = c_start[char_off[ch]:char_off[ch + 1]]
+        msrows[:, k] = np.searchsorted(cs, block_starts,
+                                       side="left").astype(np.uint32)
+        logP = int(math.log2(P))
+        blk = cs >> logP
+        off = cs & (P - 1)
+        np.bitwise_or.at(msrows, (blk, nslots + k * wpc + (off >> 5)),
+                         (np.uint32(1) << (off & 31).astype(np.uint32)))
+    msrows = msrows.view(np.int32)
+
+    if cache_path is not None and cache_key is not None:
+        tmp = cache_path + ".tmp.npz"
+        np.savez(tmp, key=cache_key, msrows=msrows)
+        os.replace(tmp, cache_path)
+    return msrows
+
+
+def _assemble_blockbits(idx, rows: np.ndarray, P: int, pack: int, wide: bool,
+                        msrows: Optional[np.ndarray] = None,
+                        want_ms: bool = False, want_doc: bool = False):
     """Host rows (built or cache-loaded) -> (BitArrays on device, BitMeta,
     OccHost). Everything here is cheap (O(r) scalars), so the cache only
     stores the rows."""
     from ..utils import device_put_chunked
 
     n = int(idx.n)
+    r = int(idx.r)
     cnt = np.asarray(idx.cnt, dtype=np.int64)
     F = np.asarray(idx.F, dtype=np.int64)
     index_chars = np.nonzero(cnt)[0]
@@ -381,14 +482,43 @@ def _assemble_blockbits(idx, rows: np.ndarray, P: int, pack: int, wide: bool):
     rmap = np.full(256, MAX_SIGMA, dtype=np.uint8)
     rmap[code_chars] = np.arange(len(code_chars), dtype=np.uint8)
     term_pos, term_code, F_term = -1, 0, 0
+    term_runidx = -1
+    char_off = np.asarray(idx.char_off, dtype=np.int64)
     if pack == 2 and cnt[TERM_BYTE]:
         rmap[TERM_BYTE] = TERM_CODE
         run_heads = np.asarray(idx.run_heads, dtype=np.uint8)
         run_starts = np.asarray(idx.run_starts, dtype=np.int64)
         term_pos = int(run_starts[np.nonzero(run_heads == TERM_BYTE)[0][0]])
         F_term = int(F[TERM_BYTE])
+        term_runidx = int(char_off[TERM_BYTE])
 
     pdt = np.int64 if wide else np.int32
+    has_ms = msrows is not None
+    jump_t = jump_d = None
+    text = None
+    if has_ms:
+        assert msrows.shape == (-(-n // P), _ms_width(P, pack))
+        if want_ms:
+            sdt = np.int64 if wide else np.int32
+            T = np.zeros(2 * r + 2, dtype=sdt)
+            T[0:2 * r:2] = np.asarray(idx.c_ssamp, dtype=sdt)
+            T[1:2 * r:2] = np.asarray(idx.c_esamp, dtype=sdt)
+            T[2 * r + 1] = sdt(idx.last_run_sample)
+            jump_t = jnp.asarray(T)
+            if idx.text is not None:
+                t_ = np.asarray(idx.text, dtype=np.uint8)
+                tp = max(1, 1 << (len(t_) - 1).bit_length())
+                if tp != len(t_):
+                    t_ = np.concatenate(
+                        [t_, np.zeros(tp - len(t_), dtype=np.uint8)])
+                text = device_put_chunked(t_)
+        if want_doc:
+            D = np.zeros(2 * r + 2, dtype=np.int32)
+            D[0:2 * r:2] = np.asarray(idx.c_sdoc, dtype=np.int32)
+            D[1:2 * r:2] = np.asarray(idx.c_edoc, dtype=np.int32)
+            D[2 * r] = np.int32(idx.first_run_sdoc)   # MS empty-char reset
+            D[2 * r + 1] = np.int32(idx.last_run_edoc)
+            jump_d = jnp.asarray(D)
     arrays = BitArrays(
         bblocks=device_put_chunked(rows),
         n=jnp.asarray(np.asarray(n, dtype=pdt)),
@@ -396,32 +526,43 @@ def _assemble_blockbits(idx, rows: np.ndarray, P: int, pack: int, wide: bool):
             np.asarray(idx.last_run_sample, dtype=pdt)),
         last_run_edoc=jnp.asarray(np.asarray(idx.last_run_edoc, pdt)),
         first_run_sdoc=jnp.asarray(np.asarray(idx.first_run_sdoc, pdt)),
+        text=text,
+        msrows=device_put_chunked(msrows) if has_ms else None,
+        jump_t=jump_t, jump_d=jump_d,
     )
     meta = BitMeta(P=P, width=W, sigma=sigma, pack=pack,
                    dtype="int64" if wide else "int32",
                    term_pos=term_pos, term_code=term_code, F_term=F_term,
-                   wide=wide)
+                   has_samples=want_ms, has_doc=want_doc,
+                   has_text=text is not None, wide=wide,
+                   has_ms=has_ms, ms_width=_ms_width(P, pack) if has_ms else 0,
+                   r=r, term_runidx=term_runidx)
     # F/Fnext tables indexed by QUERY-RANK CODE (OccHost.planes_for_alphabet
     # indexes Fnext_sigma[rmap[byte]]); slot TERM_CODE serves the terminator
     f_by_code = np.zeros(16, dtype=np.int64)
     fnext_by_code = np.zeros(16, dtype=np.int64)
+    runbase_by_code = np.zeros(16, dtype=np.int64)
     for k, ch in enumerate(code_chars):
         f_by_code[k] = F[ch]
         fnext_by_code[k] = F[ch] + cnt[ch]
+        runbase_by_code[k] = char_off[ch]
     if pack == 2 and cnt[TERM_BYTE]:
         f_by_code[TERM_CODE] = F_term
         fnext_by_code[TERM_CODE] = F_term + cnt[TERM_BYTE]
+        runbase_by_code[TERM_CODE] = term_runidx
     host = OccHost(F_all=F, cnt_all=cnt, rmap=rmap,
                    F_sigma=f_by_code, Fnext_sigma=fnext_by_code,
-                   index_chars=tuple(int(c) for c in index_chars))
+                   index_chars=tuple(int(c) for c in index_chars),
+                   runbase_sigma=runbase_by_code if has_ms else None)
     return arrays, meta, host
 
 
-def make_blockbits_step_fn(meta: BitMeta, mode: str, use_doc: bool):
-    """One backward PML step. carry = (pos, length, sample, doc) for state
-    compatibility with the other engines; sample/doc pass through. chars
-    must be QUERY-rank mapped; `planes` are OccHost.planes_for_alphabet."""
-    assert mode == "pml" and not use_doc, "block-bits engine is PML-only"
+def _make_probe_fn(meta: BitMeta, need_ms: bool = False):
+    """Shared per-step math of the block-bits engines: the one-hot per-char
+    constants, THE dependent row gather, SWAR in-block rank, checkpoint /
+    up-bit selects, terminator corrections, and the 3-way branch decision.
+    Returns a dict of everything the PML and MS/doc steps consume.
+    need_ms additionally gathers the msrows side row (v4-MS)."""
     P, pack, wide = meta.P, meta.pack, meta.wide
     logP = int(math.log2(P))
     nslots = MAX_SIGMA2 if pack == 2 else MAX_SIGMA4
@@ -435,8 +576,7 @@ def make_blockbits_step_fn(meta: BitMeta, mode: str, use_doc: bool):
     # SWAR constants: per-code-group LSB mask for this packing
     lsb = int(sum(1 << (pack * j) for j in range(per_word)))  # 0x111../0x555..
 
-    def step(ix: BitArrays, carry, qc, planes):
-        pos, length, sample, doc = carry
+    def probe(ix: BitArrays, pos, qc, planes):
         dt = pos.dtype                     # int32, or int64 in wide mode
         i32 = jnp.int32                    # in-row work always stays 32-bit
         B = pos.shape[0]
@@ -468,10 +608,21 @@ def make_blockbits_step_fn(meta: BitMeta, mode: str, use_doc: bool):
             mine = (blkc // nb_local) == tpi
             local = jnp.clip(blkc - tpi * nb_local, 0, nb_local - 1)
             row = jnp.where(mine[:, None], ix.bblocks[local], 0)
-            row = jax.lax.psum(row, meta.tp_axis)
+            if need_ms:
+                msrow = jnp.where(mine[:, None], ix.msrows[local], 0)
+                both = jax.lax.psum(
+                    jnp.concatenate([row, msrow], axis=1), meta.tp_axis)
+                row, msrow = both[:, :meta.width], both[:, meta.width:]
+            else:
+                row = jax.lax.psum(row, meta.tp_axis)
+                msrow = None
         else:
             nb = nb_local
-            row = ix.bblocks[jnp.clip(blk, 0, nb - 1)]          # [B, W]
+            blkc = jnp.clip(blk, 0, nb - 1)
+            row = ix.bblocks[blkc]                              # [B, W]
+            # the MS side row: INDEPENDENT of `row` (same index), so the
+            # two HBM gathers pipeline instead of serializing
+            msrow = ix.msrows[blkc] if need_ms else None
         off = (pos & (P - 1)).astype(i32)
 
         # SWAR rank over packed char words: group == code  <=>  all bits of
@@ -518,6 +669,7 @@ def make_blockbits_step_fn(meta: BitMeta, mode: str, use_doc: bool):
                        axis=1).astype(i32)
         up_bit = (word >> (off & 31)) & 1
 
+        is_tq = None
         if pack == 2 and meta.term_pos >= 0:
             # correct the single terminator alias with static scalars
             tb, to = meta.term_pos >> logP, meta.term_pos & (P - 1)
@@ -538,9 +690,128 @@ def make_blockbits_step_fn(meta: BitMeta, mode: str, use_doc: bool):
         has_next = A < Fnext
         jump_up = ~empty & ~is_match & (~has_next | (up_bit == 1))
 
-        new_length = jnp.where(is_match, length + 1, 0)
-        new_pos = jnp.where(empty, Fb, A - jump_up.astype(dt))
+        out = dict(A=A, Fb=Fb, empty=empty, is_match=is_match,
+                   jump_up=jump_up, rk=rk, off=off, is_tq=is_tq,
+                   msrow=msrow, acc=acc)
+        out["new_pos"] = jnp.where(empty, Fb, A - jump_up.astype(dt))
+        return out
 
-        return (new_pos, new_length, sample, doc), (new_length, doc)
+    return probe
+
+
+def make_blockbits_step_fn(meta: BitMeta, mode: str, use_doc: bool):
+    """One backward PML step. carry = (pos, length, sample, doc) for state
+    compatibility with the other engines; sample/doc pass through. chars
+    must be QUERY-rank mapped; `planes` are OccHost.planes_for_alphabet."""
+    assert mode == "pml" and not use_doc, \
+        "MS / doc tracking use make_blockbits_ms_step_fn"
+    probe = _make_probe_fn(meta)
+
+    def step(ix: BitArrays, carry, qc, planes):
+        pos, length, sample, doc = carry
+        pr = probe(ix, pos, qc, planes)
+        new_length = jnp.where(pr["is_match"], length + 1, 0)
+        return (pr["new_pos"], new_length, sample, doc), (new_length, doc)
 
     return step
+
+
+def make_blockbits_ms_step_fn(meta: BitMeta, mode: str, use_doc: bool):
+    """v4-MS / v4-doc step: one extra INDEPENDENT msrow gather per step.
+
+    The MS recurrence (compute_ms_pml.cpp:570-623) differs from PML only in
+    what a jump assigns: samples_start / samples_last of the jump-target
+    run — per-run VALUES, which would force a second dependent gather. This
+    kernel instead carries (jidx, d): jidx identifies the last jump target
+    as 2*run + (1 if jump-up) in the char-grouped run numbering (EMPTY = 2r
+    for the absent-char reset, INIT = 2r+1 for the seed), and d counts the
+    match-extends since (each match does sample -= 1, :582). The actual
+    sample matrix is reconstructed AFTER the scan as jump_t[jidx] - d —
+    [B, L] INDEPENDENT gathers that pipeline at memory bandwidth, keeping
+    the scan itself at one dependent gather per step.
+
+    The jump-target run index needs the char-LOCAL run rank at pos: msrows
+    carries per-code run-rank checkpoints + run-start bits (same SWAR
+    pattern as the main row's up-bits), and the char-grouped base
+    (char_off[c]) rides the one-hot planes as column 4.
+
+    Doc tracking (compute_ms_pml.cpp:288-340,625-682) reuses jidx
+    unchanged: doc ids also change only on jumps — docs = jump_d[jidx].
+    The one semantic split: an absent char RESETS the MS doc to run 0's
+    start doc (:639-643) but KEEPS the PML doc (:303); the EMPTY slot holds
+    first_run_sdoc, so MS routes empties there while PML keeps jidx.
+
+    mode='ms': carry (pos, jidx, d), emit (jidx, d).
+    mode='pml' (use_doc): carry (pos, length, jidx), emit (length, jidx).
+    """
+    assert meta.has_ms, "index built without want_ms/want_doc"
+    ms = mode == "ms"
+    assert ms or use_doc, "use make_blockbits_step_fn for plain PML"
+    P, pack = meta.P, meta.pack
+    nslots = MAX_SIGMA2 if pack == 2 else MAX_SIGMA4
+    wpc = P // 32
+    MB0 = nslots
+    probe = _make_probe_fn(meta, need_ms=True)
+    EMPTY = 2 * meta.r
+
+    def step(ix: BitArrays, carry, qc, planes):
+        if ms:
+            pos, jidx, d = carry
+        else:
+            pos, length, jidx = carry
+        i32 = jnp.int32
+        pr = probe(ix, pos, qc, planes)
+        msrow, off, rk = pr["msrow"], pr["off"], pr["rk"]
+        B = pos.shape[0]
+
+        # char-local run rank at pos: checkpoint + popcount(start bits at
+        # offsets < off) over the code's P/32 bit words
+        sel8 = (jnp.arange(nslots, dtype=i32)[None, :] == rk[:, None])
+        rc_sel = jnp.sum(jnp.where(sel8, msrow[:, :nslots], 0),
+                         axis=1).astype(i32)
+        widx = jnp.arange(wpc, dtype=i32)[None, :]
+        selg = (jnp.arange(nslots, dtype=i32)[:, None] == rk[:, None, None])
+        # .astype(i32): under x64 jnp.sum promotes int32 -> int64, and a
+        # 64-bit popcount on a sign-extended word with bit 31 set counts 32
+        # phantom high bits
+        bits = jnp.sum(jnp.where(
+            selg, msrow[:, MB0:].reshape(B, nslots, wpc), 0),
+            axis=1).astype(i32)
+        wcut = (off >> 5)[:, None]
+        lowmask = ((1 << (off & 31)) - 1)[:, None]
+        mb = jnp.where(widx < wcut, bits,
+             jnp.where(widx == wcut, bits & lowmask, 0))
+        k_local = rc_sel + jnp.sum(jax.lax.population_count(mb),
+                                   axis=1).astype(i32)
+
+        base = pr["acc"][:, 4].astype(i32)     # char_off[c] (planes col 4)
+        jdown = 2 * (base + k_local)
+        if pr["is_tq"] is not None:
+            jdown = jnp.where(pr["is_tq"], 2 * meta.term_runidx, jdown)
+        # jump-up targets run k_local-1's END entry: 2*(run-1)+1 = jdown-1
+        jjump = jnp.maximum(jnp.where(pr["jump_up"], jdown - 1, jdown), 0)
+
+        if ms:
+            new_jidx = jnp.where(pr["is_match"], jidx,
+                       jnp.where(pr["empty"], EMPTY, jjump))
+            new_d = jnp.where(pr["is_match"], d + 1, 0)
+            return (pr["new_pos"], new_jidx, new_d), (new_jidx, new_d)
+        # PML + doc: empty KEEPS the current doc (and matches do too)
+        new_jidx = jnp.where(pr["is_match"] | pr["empty"], jidx, jjump)
+        new_length = jnp.where(pr["is_match"], length + 1, 0)
+        return (pr["new_pos"], new_length, new_jidx), (new_length, new_jidx)
+
+    return step
+
+
+def ms_initial_state(ix: BitArrays, meta: BitMeta, B: int, mode: str):
+    """Seed for make_blockbits_ms_step_fn: empty pattern at the last BWT
+    row, jidx at the INIT slot (jump_t[2r+1] = last_run_sample = SA[n-1],
+    compute_ms_pml.cpp:574-575)."""
+    dt = ix.n.dtype
+    i32 = jnp.int32
+    pos0 = jnp.full((B,), ix.n - 1, dtype=dt)
+    init = jnp.full((B,), 2 * meta.r + 1, dtype=i32)
+    if mode == "ms":
+        return (pos0, init, jnp.zeros((B,), dtype=i32))
+    return (pos0, jnp.zeros((B,), dtype=dt), init)

@@ -196,16 +196,19 @@ class OccHost:
     matrices, split into exact 8-bit f32 planes for the MXU one-hot lookup
     (same exactness trick as layered.py — ints < 256 are exact in bf16)."""
 
-    COLS = 4  # c_blk, empty, Fb, Fnext
+    COLS = 5  # c_blk, empty, Fb, Fnext, run_base
 
     def __init__(self, F_all, cnt_all, rmap, F_sigma, Fnext_sigma,
-                 index_chars):
+                 index_chars, runbase_sigma=None):
         self.F_all = F_all
         self.cnt_all = cnt_all
         self.rmap = rmap
         self.F_sigma = F_sigma
         self.Fnext_sigma = Fnext_sigma
         self.index_chars = index_chars
+        # col 4: char_off[char of code rk] — the char-grouped run-table base
+        # used by the v4-MS jump indexing (0 when the engine doesn't need it)
+        self.runbase_sigma = runbase_sigma
         self._plane_cache = {}
 
     def planes_for_alphabet(self, alphabet: tuple):
@@ -220,6 +223,8 @@ class OccHost:
             mat[i, 1] = 1 if self.cnt_all[byte] == 0 else 0
             mat[i, 2] = self.F_all[byte]
             mat[i, 3] = 0 if rk == MAX_SIGMA else self.Fnext_sigma[rk]
+            if self.runbase_sigma is not None and rk < len(self.runbase_sigma):
+                mat[i, 4] = self.runbase_sigma[rk]
         n_planes = max(1, -(-int(mat.max() + 1).bit_length() // 8))
         planes = tuple(
             jnp.asarray(((mat >> (8 * p)) & 0xFF).astype(np.float32))

@@ -158,6 +158,32 @@ def query_batch_kernel_v4(ix, reads_rev: jnp.ndarray, meta, planes,
     return vals.T, state
 
 
+@functools.partial(jax.jit, static_argnames=("meta", "mode", "use_doc"))
+def query_batch_kernel_v4ms(ix, reads_rev: jnp.ndarray, meta, mode: str,
+                            use_doc: bool, planes, state=None):
+    """Block-bits MS / doc variant (engine v4-MS, blockbits.py): the scan
+    carries (jump id, decrements) instead of SA-sample VALUES, so each step
+    still costs one dependent row gather (+ one independent msrow gather
+    that pipelines with it); the [B, L] sample/doc matrices are then
+    reconstructed from the flat jump tables with independent gathers.
+    reads_rev must be QUERY-rank mapped. Returns (vals, docs, state)."""
+    from .blockbits import make_blockbits_ms_step_fn, ms_initial_state
+
+    B = reads_rev.shape[0]
+    step = make_blockbits_ms_step_fn(meta, mode, use_doc)
+    if state is None:
+        state = ms_initial_state(ix, meta, B, mode)
+    state, (a_mat, b_mat) = jax.lax.scan(
+        lambda carry, ch: step(ix, carry, ch, planes), state, reads_rev.T)
+    if mode == "ms":
+        jidx, d = a_mat.T, b_mat.T
+        vals = ix.jump_t[jidx] - d.astype(ix.jump_t.dtype)
+    else:
+        vals, jidx = a_mat.T, b_mat.T
+    docs = ix.jump_d[jidx].astype(vals.dtype) if use_doc else None
+    return vals, docs, state
+
+
 @functools.partial(
     jax.jit, static_argnames=("meta", "mode", "use_doc", "finalize"))
 def query_batch_kernel_v3(ix, reads_rev: jnp.ndarray, meta, mode: str,
@@ -1109,9 +1135,15 @@ class ScanEngine:
         self.layered = hasattr(arrays, "fields")
         self.occ = hasattr(arrays, "blocks")
         self.bits = hasattr(arrays, "bblocks")
-        if self.bits and (mode != "pml" or use_doc):
-            raise ValueError("block-bits engine is PML-only without doc "
-                             "tracking (use engine=layered)")
+        if self.bits and (mode != "pml" or use_doc) and not meta.has_ms:
+            raise ValueError("block-bits MS/doc needs an index built with "
+                             "want_ms/want_doc (or use engine=layered)")
+        if self.bits and mode == "ms" and arrays.jump_t is None:
+            raise ValueError("block-bits MS needs SA-sample jump tables "
+                             "(build with want_ms=True)")
+        if self.bits and use_doc and arrays.jump_d is None:
+            raise ValueError("block-bits doc tracking needs doc jump tables "
+                             "(build with want_doc=True)")
         if (self.occ or self.bits) and host is None:
             raise ValueError("occ/block-bits engines require their OccHost")
         self.host = host if (self.layered or self.occ or self.bits) else None
@@ -1174,7 +1206,29 @@ class ScanEngine:
                 {0} | set(int(x) for x in present_chars(rev))))
             planes = self.host.planes_for_alphabet(alphabet)
             revm = self.host.rank_map(alphabet)[rev]
-            if L > self.chunk:
+            v4ms = self.mode == "ms" or self.use_doc
+            if L > self.chunk and v4ms:
+                # chunked long reads: (jidx, d) state carries across chunk
+                # kernels exactly like (pos, sample) would
+                from .blockbits import ms_initial_state
+                state = ms_initial_state(self.arrays, self.meta,
+                                         revm.shape[0], self.mode)
+                v_parts, d_parts = [], []
+                for c0 in range(0, L, self.chunk):
+                    v, d, state = query_batch_kernel_v4ms(
+                        self.arrays, jnp.asarray(revm[:, c0:c0 + self.chunk]),
+                        self.meta, self.mode, self.use_doc, planes, state)
+                    v_parts.append(self._fetch(v, L))
+                    if self.use_doc:
+                        d_parts.append(np.asarray(d))
+                vals = np.concatenate(v_parts, axis=1)
+                docs = np.concatenate(d_parts, axis=1) if self.use_doc \
+                    else None
+            elif v4ms:
+                vals, docs = query_batch_kernel_v4ms(
+                    self.arrays, jnp.asarray(revm), self.meta, self.mode,
+                    self.use_doc, planes)[:2]
+            elif L > self.chunk:
                 state = initial_state(self.arrays, revm.shape[0])
                 v_parts = []
                 for c0 in range(0, L, self.chunk):
@@ -1183,10 +1237,11 @@ class ScanEngine:
                         self.meta, planes, state)
                     v_parts.append(self._fetch(v, L))
                 vals = np.concatenate(v_parts, axis=1)
+                docs = None
             else:
                 vals, _ = query_batch_kernel_v4(
                     self.arrays, jnp.asarray(revm), self.meta, planes)
-            docs = None
+                docs = None
         elif self.occ:
             from .occblock import occ_initial_state
             alphabet = tuple(sorted(
@@ -1704,6 +1759,11 @@ class ScanEngine:
 
     def _scan_ptrs_dev(self, rev_d, planes, use_doc=False):
         if self.bits:
+            if self.mode == "ms" or use_doc:
+                vals, docs = query_batch_kernel_v4ms(
+                    self.arrays, rev_d, self.meta, self.mode, use_doc,
+                    planes)[:2]
+                return vals, docs
             vals, _ = query_batch_kernel_v4(self.arrays, rev_d, self.meta,
                                             planes)
             return vals, None

@@ -544,8 +544,12 @@ def _make_engine(cfg: RunConfig, dense: DenseIndex, index_path=None):
                              "gather row-count cliff (use engine=layered)")
         arrays, meta, host = occblock.build_occblock(dense)
     elif cfg.engine == "bits" or (
-            cfg.engine == "auto" and cfg.mode == "pml" and not cfg.use_doc
-            and _blockbits_eligible(dense)):
+            cfg.engine == "auto" and _blockbits_eligible(dense)
+            and (cfg.mode == "pml" or dense.has_samples)
+            and (not cfg.use_doc or dense.has_doc)
+            # v4-MS jump ids are int32 (2r+2 slots)
+            and (cfg.mode == "pml" and not cfg.use_doc
+                 or dense.r < 2**30)):
         from .engine import blockbits
         if not blockbits.eligible_any(dense):
             raise ValueError("block-bits engine needs sigma <= 8 and "
@@ -553,8 +557,12 @@ def _make_engine(cfg: RunConfig, dense: DenseIndex, index_path=None):
         # the packed-rows build is minutes at genome scale; cache it next
         # to the index (content-keyed) so later runs load it directly
         cache = (index_path + ".bbrows.npz") if index_path else None
-        arrays, meta, host = blockbits.build_blockbits(dense,
-                                                       cache_path=cache)
+        want_ms = cfg.mode == "ms"
+        want_doc = cfg.use_doc
+        arrays, meta, host = blockbits.build_blockbits(
+            dense, cache_path=cache, want_ms=want_ms, want_doc=want_doc,
+            ms_cache_path=(index_path + ".bbms.npz")
+            if index_path and (want_ms or want_doc) else None)
     else:
         from .engine.layered import build_layered
         arrays, meta, host = build_layered(dense)

@@ -146,13 +146,183 @@ def test_blockbits_rows_cache_roundtrip(rng, make_reads, tmp_path):
         assert np.array_equal(a, b)
 
 
-def test_blockbits_rejects_ms_and_doc(rng):
+def test_blockbits_rejects_ms_and_doc_without_tables(rng):
+    """An index built WITHOUT want_ms/want_doc has no jump tables; asking
+    for MS or doc tracking must fail loudly, not return garbage."""
     text, dense, native = _setup(rng, 2000)
     arrays, meta, host = build_blockbits(dense)
     with pytest.raises(ValueError):
         ScanEngine(arrays, meta, mode="ms", host=host)
     with pytest.raises(ValueError):
         ScanEngine(arrays, meta, mode="pml", use_doc=True, host=host)
+
+
+# ---------------------------------------------------------------------------
+# engine v4-MS: MS pointers + doc tracking on the block-bits engine
+# (VERDICT r4 #1/#3 — run-rank msrows + post-scan jump-table reconstruction)
+# ---------------------------------------------------------------------------
+
+def _setup_msdoc(rng, doc_lens):
+    from spumoni_tpu.index.format import build_doc_arrays
+
+    parts = [np.frombuffer(rand_dna(rng, m), np.uint8) for m in doc_lens]
+    tarr = np.concatenate(parts)
+    raw = build_raw_index(tarr)
+    ds, de = build_doc_arrays(raw, doc_lens)
+    dense = build_dense_index(raw, text=tarr, with_samples=True,
+                              doc_start=ds, doc_end=de)
+    native = NativeQueryEngine(raw.n, raw.run_heads, raw.run_starts,
+                               raw.thresholds, raw.samples_start,
+                               raw.samples_last, start_doc=ds, end_doc=de,
+                               text=tarr)
+    return tarr.tobytes(), dense, native
+
+
+@pytest.mark.parametrize("P", [64, 256])
+def test_blockbits_ms_matches_native(rng, make_reads, P):
+    """v4-MS pointers and extended lengths must match the native engine
+    exactly — incl. absent-char resets (underflow pointers), block-edge
+    jumps, and the terminator region."""
+    text, dense, native = _setup_msdoc(rng, [4000, 3000])
+    arrays, meta, host = build_blockbits(dense, P=P, want_ms=True)
+    assert meta.has_ms and arrays.jump_t is not None
+    reads = make_reads(rng, text, num=14, max_len=300)
+    reads.append(b"N" * 64)
+    reads.append(text[:130])
+    reads.append(text[-100:])
+    out = ScanEngine(arrays, meta, mode="ms", host=host).query(reads)
+    wptr, wlen = native.query_ms(reads)
+    for i in range(len(reads)):
+        assert np.array_equal(out["pointers"][i], wptr[i]), (P, i)
+        assert np.array_equal(out["lengths"][i], wlen[i]), (P, i)
+
+
+@pytest.mark.parametrize("mode", ["ms", "pml"])
+def test_blockbits_doc_tracking_matches_native(rng, make_reads, mode):
+    """Doc ids ride the same jump-id emission: MS resets to run 0's start
+    doc on absent chars (compute_ms_pml.cpp:639-643) while PML keeps the
+    current doc (:303) — both must match the native engine exactly."""
+    text, dense, native = _setup_msdoc(rng, [3000, 2500, 2000])
+    arrays, meta, host = build_blockbits(dense, want_ms=True, want_doc=True)
+    reads = make_reads(rng, text, num=12, max_len=250)
+    reads.append(b"N" * 40 + text[100:200] + b"N" * 10)  # absent-char resets
+    reads.append(text[:90])
+    eng = ScanEngine(arrays, meta, mode=mode, use_doc=True, host=host)
+    out = eng.query(reads)
+    if mode == "ms":
+        wptr, wlen, wdoc = native.query_ms(reads, with_docs=True)
+        for i in range(len(reads)):
+            assert np.array_equal(out["pointers"][i], wptr[i]), i
+            assert np.array_equal(out["docs"][i], wdoc[i]), i
+    else:
+        wlen, wdoc = native.query_pml(reads, with_docs=True)
+        for i in range(len(reads)):
+            assert np.array_equal(out["lengths"][i], wlen[i]), i
+            assert np.array_equal(out["docs"][i], wdoc[i]), i
+
+
+def test_blockbits_ms_wide_matches_native(rng, make_reads):
+    """v4-MS over the wide (n >= 2^31) layout: int64 positions/samples,
+    int32 jump ids (forced wide=True on a small n)."""
+    text, dense, native = _setup_msdoc(rng, [5000, 4000])
+    arrays, meta, host = build_blockbits(dense, P=256, wide=True,
+                                         want_ms=True, want_doc=True)
+    assert meta.wide and arrays.jump_t.dtype == np.int64
+    reads = make_reads(rng, text, num=10, max_len=300)
+    reads.append(b"N" * 32)
+    out = ScanEngine(arrays, meta, mode="ms", use_doc=True,
+                     host=host).query(reads)
+    wptr, wlen, wdoc = native.query_ms(reads, with_docs=True)
+    for i in range(len(reads)):
+        assert np.array_equal(out["pointers"][i], wptr[i]), i
+        assert np.array_equal(out["lengths"][i], wlen[i]), i
+        assert np.array_equal(out["docs"][i], wdoc[i]), i
+
+
+def test_blockbits_ms_chunked_long_reads(rng):
+    """Chunk boundaries carry (pos, jidx, d) across kernel invocations —
+    a match streak crossing the boundary must keep decrementing the same
+    jump sample."""
+    text, dense, native = _setup_msdoc(rng, [12000, 8000])
+    arrays, meta, host = build_blockbits(dense, want_ms=True, want_doc=True)
+    reads = []
+    for m in (900, 1500):
+        st = int(rng.integers(0, len(text) - m))
+        rd = bytearray(text[st:st + m])
+        for k in range(0, len(rd), 41):
+            rd[k] = ord("ACGT"[int(rng.integers(4))])
+        reads.append(bytes(rd))
+    reads.append(text[1000:2500])      # pure match streak across chunks
+    reads.append(rand_dna(rng, 1100))
+    for mode, use_doc in (("ms", False), ("ms", True), ("pml", True)):
+        eng = ScanEngine(arrays, meta, mode=mode, use_doc=use_doc,
+                         host=host, chunk=256)
+        out = eng.query(reads)
+        if mode == "ms":
+            res = native.query_ms(reads, with_docs=use_doc)
+            wptr, wlen = res[0], res[1]
+            for i in range(len(reads)):
+                assert np.array_equal(out["pointers"][i], wptr[i]), (mode, i)
+                assert np.array_equal(out["lengths"][i], wlen[i]), (mode, i)
+                if use_doc:
+                    assert np.array_equal(out["docs"][i], res[2][i]), i
+        else:
+            wlen, wdoc = native.query_pml(reads, with_docs=True)
+            for i in range(len(reads)):
+                assert np.array_equal(out["lengths"][i], wlen[i]), i
+                assert np.array_equal(out["docs"][i], wdoc[i]), i
+
+
+def test_blockbits_ms_staged_path(rng, make_reads):
+    """The staged (device-resident) path — stage() -> query_staged /
+    classify_staged — through v4-MS must match the per-read query path."""
+    from spumoni_tpu.io.fastx_batch import PackedReads
+    from spumoni_tpu.classify import binmax
+
+    text, dense, native = _setup_msdoc(rng, [6000, 5000])
+    arrays, meta, host = build_blockbits(dense, want_ms=True)
+    reads = make_reads(rng, text, num=20, max_len=400)
+    buf = np.frombuffer(b"".join(reads), np.uint8)
+    offs = np.zeros(len(reads) + 1, np.int64)
+    np.cumsum([len(r) for r in reads], out=offs[1:])
+    pk = PackedReads([f"r{i}" for i in range(len(reads))], buf, offs)
+
+    eng = ScanEngine(arrays, meta, mode="ms", host=host)
+    staged = eng.stage(pk)
+    out = eng.query_staged(staged)
+    wptr, wlen = native.query_ms(reads)
+    for i in range(len(reads)):
+        assert np.array_equal(out["pointers"][i], wptr[i]), i
+        assert np.array_equal(out["lengths"][i], wlen[i]), i
+
+    res = eng.classify_staged(staged, bin_width=150, max_value_thr=18)
+    for i in range(len(reads)):
+        want = binmax.classify(wlen[i], 150, 18)
+        assert bool(res["found"][i]) == (want.status == "FOUND"), i
+        assert res["above"][i] == want.bins_above, i
+
+
+def test_blockbits_msrows_cache_roundtrip(rng, make_reads, tmp_path):
+    """The msrows cache must load to identical rows and miss on content
+    change, like the main rows cache."""
+    import os
+
+    text, dense, native = _setup_msdoc(rng, [3000, 2500])
+    cache = str(tmp_path / "i.bbrows.npz")
+    ms_cache = str(tmp_path / "i.bbms.npz")
+    a1, m1, h1 = build_blockbits(dense, cache_path=cache, want_ms=True,
+                                 ms_cache_path=ms_cache)
+    assert os.path.exists(ms_cache)
+    mt = os.path.getmtime(ms_cache)
+    a2, m2, h2 = build_blockbits(dense, cache_path=cache, want_ms=True,
+                                 ms_cache_path=ms_cache)
+    assert os.path.getmtime(ms_cache) == mt
+    assert np.array_equal(np.asarray(a1.msrows), np.asarray(a2.msrows))
+    reads = make_reads(rng, text, num=6, max_len=150)
+    out = ScanEngine(a2, m2, mode="ms", host=h2).query(reads)
+    wptr, _ = native.query_ms(reads)
+    for i in range(len(reads)):
+        assert np.array_equal(out["pointers"][i], wptr[i]), i
 
 
 def test_blockbits_fused_classify_matches_host(rng, make_reads):
