@@ -315,12 +315,23 @@ def import_reference_build(cfg: BuildConfig) -> str:
     if cfg.build_doc:
         # rebuild the document array from the imported SA samples + the
         # .fdi sequence boundaries, exactly like the reference's -d build
-        # (doc_array.cpp:18-108 consumes .ssa/.esa + .fdi)
+        # (doc_array.cpp:18-108 consumes .ssa/.esa + .fdi) — or, without an
+        # .fdi, read the reference's own serialized .doc directly
+        # (doc_array.cpp:184-201)
         fdi = ref_path + ".fdi"
-        if not os.path.isfile(fdi):
-            raise FileNotFoundError(f"-d import needs {fdi}")
-        seq_lengths = refbuilder.read_fdi(fdi)
-        doc_start, doc_end = build_doc_arrays(raw, seq_lengths)
+        doc_file = ref_path + ".doc"
+        if os.path.isfile(fdi):
+            seq_lengths = refbuilder.read_fdi(fdi)
+            doc_start, doc_end = build_doc_arrays(raw, seq_lengths)
+        elif os.path.isfile(doc_file):
+            from .index.interchange import read_reference_doc
+            doc_start, doc_end = read_reference_doc(doc_file)
+            if len(doc_start) != r:
+                raise ValueError(f"{doc_file} holds {len(doc_start)} "
+                                 f"entries for {r} runs")
+            log("import_ref", f"document array read from {doc_file}")
+        else:
+            raise FileNotFoundError(f"-d import needs {fdi} or {doc_file}")
         np.savez(ref_path + ".doc.npz", start_runs_doc=doc_start,
                  end_runs_doc=doc_end)
 
@@ -333,8 +344,36 @@ def import_reference_build(cfg: BuildConfig) -> str:
             raw.n, raw.run_heads, raw.run_starts, raw.thresholds,
             raw.samples_start, raw.samples_last, text=text)
     else:
-        log("import_ref", f"WARNING: {null_path} not found; skipping the "
-                          f"null databases (classification runs need them)")
+        # no null reads: fall back to the reference's own serialized null
+        # databases (emp_null_database.cpp:82-141) so a reference-built
+        # index classifies without spumoni_null_reads.fa
+        from .index.interchange import read_reference_nulldb
+        converted = []
+        for want_ms, ext in ((True, ".msnulldb"), (False, ".pmlnulldb")):
+            if want_ms and not cfg.ms_index:
+                continue
+            if not want_ms and not cfg.pml_index:
+                continue
+            src = ref_path + ext
+            if not os.path.isfile(src):
+                continue
+            d = read_reference_nulldb(src)
+            db = EmpNullDatabase(d["null_stats"])
+            # keep the reference's RECORDED scalars (its mean/percentile
+            # computation is definitionally ours, but trust the file)
+            db.ks_stat_threshold = d["ks_stat_threshold"]
+            db.mean_null_stat = d["mean_null_stat"]
+            db.percentile_value = d["percentile_value"]
+            db.save(src)
+            converted.append(ext)
+        if converted:
+            log("import_ref", "null databases read from the reference's "
+                              f"serialized {'/'.join(converted)}")
+        else:
+            log("import_ref", f"WARNING: {null_path} not found and no "
+                              f"reference .msnulldb/.pmlnulldb to read; "
+                              f"skipping the null databases "
+                              f"(classification runs need them)")
 
     threads = os.cpu_count() or 1
     rand = GlibcRand(0)
