@@ -352,7 +352,8 @@ def build_blockbits(idx, P: Optional[int] = None, pack: Optional[int] = None,
         if "m_stat" not in d.files and src_path is not None:
             # pre-manifest cache: rewrite with the manifest so the NEXT
             # run gets the fast start (rows are already in hand — cheap)
-            tmp = cache_path + ".tmp.npz"
+            tmp = f"{cache_path}.tmp{os.getpid()}.npz"  # pid-unique: concurrent
+        # processes (multi-host runs) may race to write the same cache
             np.savez(tmp, key=cache_key, rows=rows_cached,
                      **_manifest_arrays(idx, src_path))
             os.replace(tmp, cache_path)
@@ -484,7 +485,8 @@ def build_blockbits(idx, P: Optional[int] = None, pack: Optional[int] = None,
                 packed.reshape(rc, wpc).view(np.int32))
 
     if cache_path is not None:
-        tmp = cache_path + ".tmp.npz"
+        tmp = f"{cache_path}.tmp{os.getpid()}.npz"  # pid-unique: concurrent
+        # processes (multi-host runs) may race to write the same cache
         np.savez(tmp, key=cache_key, rows=rows,
                  **_manifest_arrays(idx, src_path))
         os.replace(tmp, cache_path)
@@ -552,7 +554,8 @@ def _build_msrows(idx, P: int, pack: int,
     msrows = msrows.view(np.int32)
 
     if cache_path is not None and cache_key is not None:
-        tmp = cache_path + ".tmp.npz"
+        tmp = f"{cache_path}.tmp{os.getpid()}.npz"  # pid-unique: concurrent
+        # processes (multi-host runs) may race to write the same cache
         np.savez(tmp, key=cache_key, msrows=msrows)
         os.replace(tmp, cache_path)
     return msrows

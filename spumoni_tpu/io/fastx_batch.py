@@ -262,3 +262,19 @@ def upper_packed(p: PackedReads) -> PackedReads:
     """Vectorized toupper over the whole batch (one LUT gather) — the
     per-read std::toupper loop of classify_reads_* (compute_ms_pml.cpp:917)."""
     return PackedReads(p.ids, _UPPER_LUT[p.buf], p.offs)
+
+
+def select_records(p: PackedReads, idx: np.ndarray) -> PackedReads:
+    """CSR subset: the records at `idx` (ascending), gathered into a new
+    contiguous buffer — vectorized (no per-record Python loop). Backs the
+    host-stride sharding of the staged fast path: each host parses the
+    chunk and keeps only the records it owns (i % P == p), preserving the
+    reference's global read order across the merged shard outputs."""
+    idx = np.asarray(idx, dtype=np.int64)
+    lens = p.offs[idx + 1] - p.offs[idx]
+    offs = np.zeros(len(idx) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    starts = np.repeat(p.offs[idx], lens)
+    pos = (np.arange(offs[-1], dtype=np.int64)
+           - np.repeat(offs[:-1], lens) + starts)
+    return PackedReads([p.ids[j] for j in idx], p.buf[pos], offs)

@@ -795,16 +795,21 @@ def run(cfg: RunConfig) -> int:
             engine = _make_engine(cfg, dense, index_path=index_path)
         if cfg.device != "cpu":
             import jax
-            if len(jax.devices()) > 1 and hasattr(engine, "to_mesh"):
-                # one process drives ALL local devices, in EVERY mode (MS
-                # and doc tracking included — compute_ms_pml.cpp:1036-1217):
-                # the index is replicated, staged read batches are
-                # 'data'-sharded, and the jitted kernels run sharded via
-                # GSPMD propagation
+            if len(jax.local_devices()) > 1 and hasattr(engine, "to_mesh"):
+                # one process drives ALL its LOCAL devices, in EVERY mode
+                # (MS and doc tracking included, compute_ms_pml.cpp:
+                # 1036-1217): the index is replicated, staged read batches
+                # are 'data'-sharded, and the jitted kernels run sharded
+                # via GSPMD propagation. The mesh is local-only — under
+                # jax.distributed each host streams its OWN record stride
+                # (different shapes per host), so no cross-host collective
+                # runs inside the streaming loop; hosts only sync in the
+                # end-of-run count merge (parallel/distributed.py).
                 from .parallel.mesh import make_data_mesh
-                engine.to_mesh(make_data_mesh())
-                log("run", f"data-parallel over {len(jax.devices())} local "
-                           f"devices (reads sharded, index replicated)")
+                engine.to_mesh(make_data_mesh(jax.local_devices()))
+                log("run", f"data-parallel over "
+                           f"{len(jax.local_devices())} local devices "
+                           f"(reads sharded, index replicated)")
     _log_footprint(engine)
 
     from .parallel import distributed as dist
@@ -972,27 +977,45 @@ def run(cfg: RunConfig) -> int:
     # digestion + staged h2d run in the PREFETCH thread, so only kernel
     # launches sit on this thread (the per-read Python prep loop below
     # capped file->report at ~13k reads/s vs the ~258k kernel)
-    use_fast = (cfg.device != "cpu" and P == 1 and not cfg.ks_report
+    use_fast = (cfg.device != "cpu" and not cfg.ks_report
                 and hasattr(engine, "stage"))
+    if use_fast and P > 1:
+        log("run", f"staged fast path, host-stride shard {p}/{P}")
 
     def staged_batches():
-        from .io.fastx_batch import PackedReads, iter_packed_batches
+        from .io.fastx_batch import (PackedReads, iter_packed_batches,
+                                     select_records)
         from .io.minimizers import digest_packed
 
-        seen = 0
+        # host-stride sharding (P > 1): every host parses the file with the
+        # same vectorized chunk parser, keeps only the records it owns
+        # (global index % P == p — the same ownership rule as the per-read
+        # path's my_records), and the resume cursor keeps counting OWNED
+        # records only
+        g = 0            # global record index at the current batch start
+        owned_seen = 0   # owned records seen (cursor/skip is in these units)
         max_lanes = 65536 if cfg.report_only else 8192
         for pk in iter_packed_batches(cfg.pattern_file, cfg.batch_bases,
                                       upper=True):
             npk = len(pk)
-            if seen + npk <= skip:       # resume: skip whole batches
-                seen += npk
+            first = (p - g) % P          # first owned index in this batch
+            g += npk
+            nown = max(0, -(-(npk - first) // P)) if first < npk else 0
+            if owned_seen + nown <= skip:   # resume: skip whole batches
+                owned_seen += nown
                 continue
-            if seen < skip:              # resume: partial batch
-                a = skip - seen
-                pk = PackedReads(pk.ids[a:],
-                                 pk.buf[pk.offs[a]:].copy(),
-                                 (pk.offs[a:] - pk.offs[a]).copy())
-            seen += npk
+            a = max(0, skip - owned_seen)   # owned records already durable
+            owned_seen += nown
+            if P == 1:
+                if a:                       # resume: partial batch
+                    pk = PackedReads(pk.ids[a:],
+                                     pk.buf[pk.offs[a]:].copy(),
+                                     (pk.offs[a:] - pk.offs[a]).copy())
+            else:
+                sel = np.arange(first, npk, P, dtype=np.int64)[a:]
+                if len(sel) == 0:
+                    continue
+                pk = select_records(pk, sel)
             if cfg.min_digest:
                 pk = digest_packed(pk, cfg.use_promotions,
                                    cfg.use_dna_letters, cfg.k, cfg.w)

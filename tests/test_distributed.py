@@ -140,3 +140,37 @@ def test_resume_cursor(tmp_path, rng):
     for rid in full:
         assert np.array_equal(full[rid], resumed[rid]), rid
     assert not os.path.exists(reads_path + ".cursor")
+
+
+def test_staged_stride_resume_cursor(tmp_path, rng):
+    """Resume mid-stream on the STAGED fast path under host-stride sharding
+    (P=2): the cursor counts OWNED records, and the strided staged reader
+    must skip exactly that many of this host's records."""
+    reads_path = _build_index(tmp_path, rng)
+    rcfg = dict(ref_file=str(tmp_path / "idx"), pattern_file=reads_path,
+                pml_requested=True, min_digest=False, device="tpu")
+
+    # full 2-host simulated run through the staged path (host 0 merges)
+    run(RunConfig(process_index=1, process_count=2, **rcfg))
+    run(RunConfig(process_index=0, process_count=2, **rcfg))
+    full = _parse_values_file(reads_path + ".pseudo_lengths")
+    assert len(full) == 10
+
+    # host 1 "crashed" after 2 of its 5 records: shard file + cursor exist;
+    # it resumes, then host 0 runs and merges
+    shard1 = dist.shard_path(reads_path + ".pseudo_lengths", 1, 2)
+    blob = []
+    for i, rid in enumerate(r for r in full if int(r[-1]) % 2 == 1):
+        if i < 2:
+            blob.append(f">{rid}\n" +
+                        " ".join(str(v) for v in full[rid]) + " \n")
+    with open(shard1, "w") as f:
+        f.writelines(blob)
+    with open(dist.shard_path(reads_path + ".cursor", 1, 2), "w") as f:
+        f.write("2")
+    run(RunConfig(process_index=1, process_count=2, resume=True, **rcfg))
+    run(RunConfig(process_index=0, process_count=2, **rcfg))
+    resumed = _parse_values_file(reads_path + ".pseudo_lengths")
+    assert set(resumed) == set(full)
+    for rid in full:
+        assert np.array_equal(full[rid], resumed[rid]), rid
