@@ -587,18 +587,20 @@ def _scale_text():
 
 def bench_tpu_ms_scale():
     """Full MS mode (-M: pointer scan + text extension) at human-genome
-    scale — the 2.1 Gbp / r~1.5e8 index of the scale config.  Engine v2
-    (layered) runs the pointer scan (v4's block-bits rows carry no SA
-    samples) and the bulk-sweep extension compares against the tile-exact
-    [nt/512, 128]-u32 text rows (build_text_rows512: HBM = the text bytes,
-    2.1 GB; serves both the 64 B bulk pass and the 256 B long-tail
-    windows).  HBM budget (v5e, 16 GB): fields + levels ~6.9 GB + text
-    rows 2.1 GB."""
+    scale — the 2.1 Gbp / r~1.5e8 index of the scale config.  Engine
+    v4-MS runs the pointer scan (ONE dependent row gather per step + one
+    independent msrow gather that pipelines with it — vs v2's five
+    over-cliff probes, the round-4 ms_scale bottleneck) and the
+    bulk-sweep extension compares against the tile-exact [nt/512,
+    128]-u32 text rows (build_text_rows512: HBM = the text bytes, 2.1 GB;
+    serves both the 64 B bulk pass and the 256 B long-tail windows).
+    HBM (v5e, 16 GB): rows 1.6 GB + msrows 1.1 GB + jump table 1.2 GB +
+    text rows 2.1 GB."""
     import jax
     import jax.numpy as jnp
-    from spumoni_tpu.engine.layered import build_layered
+    from spumoni_tpu.engine.blockbits import _assemble_blockbits, _build_msrows
     from spumoni_tpu.engine.scan_engine import (extend_pointers_sweep,
-                                                query_batch_kernel_v2)
+                                                query_batch_kernel_v4ms)
     from spumoni_tpu.index.format import build_dense_index
     from spumoni_tpu.native import RawIndex
 
@@ -610,9 +612,15 @@ def bench_tpu_ms_scale():
     d = np.load(os.path.join(SCALE_CACHE, "raw.npz"))
     raw = RawIndex(int(d["n"]), d["run_heads"], d["run_starts"],
                    d["thresholds"], d["samples_start"], d["samples_last"])
-    dense = build_dense_index(raw, text=text, with_samples=True)
-    arrays, meta, host = build_layered(dense, want_text=False)
-    print(f"  layered index resident ({time.time() - t0:.0f} s)",
+    dense = build_dense_index(raw, with_samples=True)  # no text: the
+    # extension reads the rows512 table below, not arrays.text
+    bb = np.load(os.path.join(SCALE_CACHE, "bb.npz"))
+    P_bb, _, _, pack_bb = (int(x) for x in bb["meta"][:4])
+    msrows = _build_msrows(dense, P_bb, pack_bb)
+    arrays, meta, host = _assemble_blockbits(dense, bb["bblocks"], P_bb,
+                                             pack_bb, False, msrows=msrows,
+                                             want_ms=True)
+    print(f"  v4-MS index resident ({time.time() - t0:.0f} s)",
           file=sys.stderr, flush=True)
 
     # host-built NON-overlapping [rows, 128]-u32 text rows
@@ -632,15 +640,15 @@ def bench_tpu_ms_scale():
 
     reads = np.load(os.path.join(SCALE_CACHE, "reads.npz"))["reads"][:B_ms]
     rev = np.ascontiguousarray(reads[:, ::-1])
-    alphabet = tuple(sorted(set(host.index_chars) | {0}))
+    alphabet = tuple(sorted({0} | set(int(x) for x in np.unique(rev))))
     planes = host.planes_for_alphabet(alphabet)
     rev_d = _device_put_chunked(host.rank_map(alphabet)[rev])
     fwd_d = jax.device_put(jnp.asarray(reads))
     lens_d = jax.device_put(jnp.asarray(np.full((B_ms,), L, np.int32)))
 
     def step():
-        ptrs, _, _ = query_batch_kernel_v2(arrays, rev_d, meta, "ms",
-                                           False, planes)
+        ptrs, _, _ = query_batch_kernel_v4ms(arrays, rev_d, meta, "ms",
+                                             False, planes)
         return extend_pointers_sweep(tw, fwd_d, lens_d, ptrs[:, ::-1], nt,
                                      None, text_two_gather=True)
 

@@ -28,18 +28,18 @@ def compute_cdf(sorted_stats: np.ndarray, max_stat: int) -> np.ndarray:
 
 def run_test(pos_stats: np.ndarray, null_stats: np.ndarray) -> float:
     """max(null_cdf - pos_cdf), scanning until either CDF reaches 1
-    (ks_test.cpp:80-104)."""
+    (ks_test.cpp:80-104). Computed as max(0, max_x(null_cdf - pos_cdf))
+    evaluated only at the null values — EXACTLY the reference's scan:
+    the reference breaks after computing the x where a CDF first hits 1,
+    and past that point the difference can only shrink (q - p <= 0 once
+    p = 1; 1 - p is non-increasing once q = 1), while between null-value
+    jumps q is constant and p non-decreasing, so the max lands on a null
+    value. This replaces an O(max_stat) Python loop per window."""
     pos = np.sort(np.asarray(pos_stats))
     null = np.sort(np.asarray(null_stats))
-    max_stat = int(max(pos[-1], null[-1]))
-    pos_cdf = compute_cdf(pos, max_stat)
-    null_cdf = compute_cdf(null, max_stat)
-    ks = 0.0
-    for p, q in zip(pos_cdf, null_cdf):
-        ks = max(q - p, ks)
-        if p >= 1.0 or q >= 1.0:
-            break
-    return ks
+    q = np.searchsorted(null, null, side="right") / float(len(null))
+    p = np.searchsorted(pos, null, side="right") / float(len(pos))
+    return float(max(0.0, np.max(q - p)))
 
 
 def n_windows(m: int, bin_size: int) -> int:
@@ -110,3 +110,11 @@ def find_ks_threshold(query_fn, null_read_path: str, null_db, bin_size: int,
     mean = arr.mean()
     std = np.sqrt(np.mean((arr - mean) ** 2))
     return float(mean + 3 * std)
+
+
+def n_windows_batch(lens: np.ndarray, bin_size: int) -> np.ndarray:
+    """Vectorized n_windows over a batch of read lengths (closed form of
+    the window loop: windows advance by bin_size and the FINAL window
+    absorbs the tail whenever fewer than 2*bin_size values remain)."""
+    m = np.asarray(lens, dtype=np.int64)
+    return np.maximum(0, -(-(m - 2 * bin_size + 1) // bin_size)) + 1

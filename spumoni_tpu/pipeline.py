@@ -977,12 +977,12 @@ def run(cfg: RunConfig) -> int:
     # digestion + staged h2d run in the PREFETCH thread, so only kernel
     # launches sit on this thread (the per-read Python prep loop below
     # capped file->report at ~13k reads/s vs the ~258k kernel)
-    use_fast = (cfg.device != "cpu" and not cfg.ks_report
-                and hasattr(engine, "stage"))
+    use_fast = cfg.device != "cpu" and hasattr(engine, "stage")
     if use_fast and P > 1:
         log("run", f"staged fast path, host-stride shard {p}/{P}")
 
     def staged_batches():
+        from .classify.kstest import n_windows_batch
         from .io.fastx_batch import (PackedReads, iter_packed_batches,
                                      select_records)
         from .io.minimizers import digest_packed
@@ -994,6 +994,7 @@ def run(cfg: RunConfig) -> int:
         # records only
         g = 0            # global record index at the current batch start
         owned_seen = 0   # owned records seen (cursor/skip is in these units)
+        ks_carry = 0     # rand() draws owed for records not yielded here
         max_lanes = 65536 if cfg.report_only else 8192
         for pk in iter_packed_batches(cfg.pattern_file, cfg.batch_bases,
                                       upper=True):
@@ -1001,22 +1002,47 @@ def run(cfg: RunConfig) -> int:
             first = (p - g) % P          # first owned index in this batch
             g += npk
             nown = max(0, -(-(npk - first) // P)) if first < npk else 0
+            csum = None
+            if ks_pending is not None:
+                # --ks-report draws one rand() per KS window in GLOBAL read
+                # order; records this host does not yield (other hosts',
+                # resume-skipped) still consume draws — count their windows
+                # from the whole batch's DIGESTED lengths
+                if cfg.min_digest:
+                    pk = digest_packed(pk, cfg.use_promotions,
+                                       cfg.use_dna_letters, cfg.k, cfg.w)
+                nw = n_windows_batch(pk.lens, cfg.bin_size)
+                csum = np.zeros(npk + 1, dtype=np.int64)
+                np.cumsum(nw, out=csum[1:])
             if owned_seen + nown <= skip:   # resume: skip whole batches
                 owned_seen += nown
+                if csum is not None:
+                    ks_carry += int(csum[npk])
                 continue
             a = max(0, skip - owned_seen)   # owned records already durable
             owned_seen += nown
+            sel = np.arange(first, npk, P, dtype=np.int64)[a:]
+            if len(sel) == 0:
+                if csum is not None:
+                    ks_carry += int(csum[npk])
+                continue
+            if csum is not None:
+                # per yielded read: draws consumed by the records between it
+                # and the previously yielded one (advance before querying)
+                gaps = np.empty(len(sel), dtype=np.int64)
+                gaps[0] = ks_carry + csum[sel[0]]
+                gaps[1:] = csum[sel[1:]] - csum[sel[:-1] + 1]
+                ks_carry = int(csum[npk] - csum[sel[-1] + 1])
+                for v in gaps:
+                    ks_pending.append(int(v))
             if P == 1:
                 if a:                       # resume: partial batch
                     pk = PackedReads(pk.ids[a:],
                                      pk.buf[pk.offs[a]:].copy(),
                                      (pk.offs[a:] - pk.offs[a]).copy())
             else:
-                sel = np.arange(first, npk, P, dtype=np.int64)[a:]
-                if len(sel) == 0:
-                    continue
                 pk = select_records(pk, sel)
-            if cfg.min_digest:
+            if cfg.min_digest and ks_pending is None:
                 pk = digest_packed(pk, cfg.use_promotions,
                                    cfg.use_dna_letters, cfg.k, cfg.w)
             yield pk.ids, engine.stage(pk, max_lanes), pk.total_bases
