@@ -517,18 +517,40 @@ def build_text_rows512(text: jnp.ndarray, nt: int) -> jnp.ndarray:
     return jax.lax.bitcast_convert_type(t.reshape(rows, 128, 4), jnp.uint32)
 
 
-def _window_rows512(text512, bytepos, W: int):
+def _window_rows512(text512, bytepos, W: int, tp_axis=None):
     """[B, W] u8 window (W <= 512) starting at `bytepos` from a
     build_text_rows512 table: two independent row gathers, a WORD-level
     butterfly (7 predicated selects on [B, 256] u32 — 4x less traffic than
     byte-level), then a 2-step byte butterfly for the residual offset.
     One tile-exact table serves BOTH the 64 B bulk pass and the 256 B
-    long-tail windows (a W<=512 window spans at most rows g, g+1)."""
-    rows = text512.shape[0]
-    g = jnp.clip((bytepos >> 9).astype(jnp.int32), 0, rows - 1)
-    r0 = text512[g]
-    r1 = text512[jnp.clip(g + 1, 0, rows - 1)]
-    w = jnp.concatenate([r0, r1], axis=1)               # [B, 256] u32
+    long-tail windows (a W<=512 window spans at most rows g, g+1).
+
+    tp_axis: text512 is ROW-SHARDED over that mesh axis (the >HBM MS
+    escape hatch, parallel/tp.py): the owner shard gathers each row
+    locally, the rest contribute zeros, and ONE [B, 256] psum per window
+    reassembles both rows on every shard."""
+    if tp_axis is not None:
+        rl = text512.shape[0]                           # local shard rows
+        S = jax.lax.psum(1, tp_axis)
+        tpi = jax.lax.axis_index(tp_axis).astype(jnp.int32)
+        rows = rl * S
+        g = jnp.clip((bytepos >> 9).astype(jnp.int32), 0, rows - 1)
+
+        def _local(gg):
+            loc = gg - tpi * rl
+            mine = (loc >= 0) & (loc < rl)
+            return jnp.where(mine[:, None],
+                             text512[jnp.clip(loc, 0, rl - 1)], 0)
+
+        w = jax.lax.psum(jnp.concatenate(
+            [_local(g), _local(jnp.clip(g + 1, 0, rows - 1))], axis=1),
+            tp_axis)                                    # [B, 256] u32
+    else:
+        rows = text512.shape[0]
+        g = jnp.clip((bytepos >> 9).astype(jnp.int32), 0, rows - 1)
+        r0 = text512[g]
+        r1 = text512[jnp.clip(g + 1, 0, rows - 1)]
+        w = jnp.concatenate([r0, r1], axis=1)           # [B, 256] u32
     off = (bytepos & 511).astype(jnp.int32)
     woff = off >> 2
     for s in (64, 32, 16, 8, 4, 2, 1):
@@ -585,12 +607,12 @@ def _lcp_bytes(tb, rb):
 
 @functools.partial(
     jax.jit, static_argnames=("nt", "chunk_positions", "K", "tail_chunk",
-                              "text_two_gather"))
+                              "text_two_gather", "tp_axis"))
 def extend_pointers_sweep(text_words: jnp.ndarray, reads: jnp.ndarray,
                           read_lens: jnp.ndarray, ptrs: jnp.ndarray, nt: int,
                           text_wide, chunk_positions: int = 131072,
                           K: int = 4, tail_chunk: int = 16384,
-                          text_two_gather: bool = False):
+                          text_two_gather: bool = False, tp_axis=None):
     """MS extension v4: BULK SINGLE PASS + compacted long tails.
 
     The chunked-while kernels (extend_pointers_diag/diag2) pay one
@@ -617,6 +639,8 @@ def extend_pointers_sweep(text_words: jnp.ndarray, reads: jnp.ndarray,
     itself matches the reference's SLP extension loop semantics
     (compute_ms_pml.cpp:802-810) with the HBM text replacing the SLP.
     """
+    assert tp_axis is None or text_two_gather, \
+        "TP extension shards the rows512 table (text_two_gather required)"
     B, L = reads.shape
     dt = ptrs.dtype
     i32 = jnp.int32
@@ -656,8 +680,8 @@ def extend_pointers_sweep(text_words: jnp.ndarray, reads: jnp.ndarray,
         limit = rrow * L + lens_i[jnp.clip(rrow, 0, B - 1)]
         kmax = jnp.minimum(jnp.minimum(limit - rpos0, nt - fp),
                            64).astype(i32)
-        tb = (_window_rows512(text_words, fp, 64) if text_two_gather
-              else _aligned_bytes64(text_words, fp))
+        tb = (_window_rows512(text_words, fp, 64, tp_axis)
+              if text_two_gather else _aligned_bytes64(text_words, fp))
         # the read-side window of flat position base*CH+i is CONTIGUOUS
         # (starts at that byte): 64 shifted slices of the chunk's bytes
         # replace the gather+butterfly (measured 1.51 -> 1.21 s phase A)
@@ -717,7 +741,7 @@ def extend_pointers_sweep(text_words: jnp.ndarray, reads: jnp.ndarray,
             kmax = jnp.minimum(jnp.minimum(limit - rpos, nt - tpos),
                                WIN).astype(i32)
             if WIN == 256:
-                tb = (_window_rows512(text_words, tpos, 256)
+                tb = (_window_rows512(text_words, tpos, 256, tp_axis)
                       if text_two_gather
                       else _window_bytes_u8(text_wide, tpos, 256))
                 rb = _window_bytes_u8(rtab_g, rpos, 256)

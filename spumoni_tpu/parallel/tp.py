@@ -200,3 +200,181 @@ class TpPmlClassifier:
             "sum_maxes": np.asarray(sums)[:nreads],
             "total_found": int(found.sum()),
         }
+
+
+def _pad_rows_to(a: np.ndarray, S: int) -> np.ndarray:
+    if a.shape[0] % S:
+        pad = -(-a.shape[0] // S) * S - a.shape[0]
+        a = np.concatenate([a, np.zeros((pad,) + a.shape[1:], a.dtype)],
+                           axis=0)
+    return a
+
+
+def shard_index_tp_ms(arrays, meta, mesh: Mesh, model_axis: str = "model"):
+    """v4-MS variant of shard_index_tp_bits: `bblocks` AND `msrows`
+    row-sharded over `model_axis` (identical padded row counts — the probe
+    psums both rows in one message), the flat jump tables 1-D sharded, and
+    `text` dropped (TpMsQuery shards its rows512 extension table
+    separately). The >HBM MS escape hatch: at GRCh38 scale the MS engine
+    is rows 4.9 GB + msrows ~3.3 GB + jump table 4.6 GB + text 6.2 GB —
+    none of it needs to be whole on any one chip."""
+    S = mesh.shape[model_axis]
+    sh2 = NamedSharding(mesh, P(model_axis, None))
+    sh1 = NamedSharding(mesh, P(model_axis))
+    bb = _pad_rows_to(np.asarray(arrays.bblocks), S)
+    ms = _pad_rows_to(np.asarray(arrays.msrows), S)
+    assert bb.shape[0] == ms.shape[0]
+    jt = _pad_rows_to(np.asarray(arrays.jump_t), S)
+    jd = (_pad_rows_to(np.asarray(arrays.jump_d), S)
+          if arrays.jump_d is not None else None)
+    rest = replicate_index(
+        arrays._replace(bblocks=None, msrows=None, jump_t=None, jump_d=None,
+                        text=None), mesh)
+    out = rest._replace(
+        bblocks=jax.device_put(jnp.asarray(bb), sh2),
+        msrows=jax.device_put(jnp.asarray(ms), sh2),
+        jump_t=jax.device_put(jnp.asarray(jt), sh1),
+        jump_d=jax.device_put(jnp.asarray(jd), sh1) if jd is not None
+        else None)
+    return out, meta._replace(tp_axis=model_axis)
+
+
+def _tp_take_1d(table, idx, axis: str):
+    """Gather from a 1-D table sharded over `axis`: owner-masked local
+    take + one psum (indices are identical across the axis, so the sum
+    reassembles exact values)."""
+    ln = table.shape[0]
+    S = jax.lax.psum(1, axis)
+    tpi = jax.lax.axis_index(axis).astype(jnp.int32)
+    loc = idx - tpi * ln
+    mine = (loc >= 0) & (loc < ln)
+    v = jnp.where(mine, table[jnp.clip(loc, 0, ln - 1)], 0)
+    return jax.lax.psum(v, axis)
+
+
+class TpMsQuery:
+    """Full MS (-M) querying with the index sharded over ICI: the v4-MS
+    scan (one row + one msrow gather per step, psum-reassembled), the flat
+    jump-table reconstruction, and the rows512 text extension all run on
+    model-axis shards. Value contract of ScanEngine.query in MS mode:
+    {'pointers', 'lengths'} (+ 'docs') per read.
+
+    fallback: reads containing index-absent characters take the
+    reference's sequential-carry quirk path (compute_ms_pml.cpp:802-810,
+    not a pure LCP); those rare reads are re-queried on the given
+    fallback engine (the native CPU oracle) instead of TP-ing the
+    sequential kernel."""
+
+    def __init__(self, arrays, meta, mesh: Mesh, host, use_doc: bool = False,
+                 fallback=None, data_axis: str = "data",
+                 model_axis: str = "model"):
+        assert meta.has_ms and arrays.jump_t is not None, \
+            "TP MS needs a v4-MS assembly (build_blockbits want_ms=True)"
+        assert arrays.text is not None, "TP MS extension needs the text"
+        if use_doc:
+            assert arrays.jump_d is not None
+        self.mesh, self.host = mesh, host
+        self.use_doc = use_doc
+        self.fallback = fallback
+        self.data_axis, self.model_axis = data_axis, model_axis
+        self.n_data = mesh.shape[data_axis]
+        S = mesh.shape[model_axis]
+        # rows512 extension table, row-sharded (host-side reshape of the
+        # text; at true >HBM scale build it straight from the host text)
+        text = np.asarray(arrays.text)
+        self.nt = int(text.shape[0])
+        rows = -(-self.nt // 512) + 1
+        t = np.zeros((rows * 512,), np.uint8)
+        t[:self.nt] = text
+        t512 = _pad_rows_to(
+            np.ascontiguousarray(t.view(np.uint32).reshape(rows, 128)), S)
+        self.t512 = jax.device_put(
+            jnp.asarray(t512), NamedSharding(mesh, P(model_axis, None)))
+        self.arrays, self.meta = shard_index_tp_ms(arrays, meta, mesh,
+                                                   model_axis)
+        self._fn_cache = {}
+
+    def _query_fn(self):
+        if self._fn_cache:
+            return self._fn_cache[0]
+        from ..engine.blockbits import (make_blockbits_ms_step_fn,
+                                        ms_initial_state)
+        from ..engine.scan_engine import _flip_rows, extend_pointers_sweep
+
+        meta, ma, da = self.meta, self.model_axis, self.data_axis
+        use_doc, nt = self.use_doc, self.nt
+        step = make_blockbits_ms_step_fn(meta, "ms", use_doc)
+
+        def inner(ix, t512, rev, fwd, lens, planes):
+            B = rev.shape[0]
+            state = ms_initial_state(ix, meta, B, "ms")
+            state, (a_mat, b_mat) = jax.lax.scan(
+                lambda c, ch: step(ix, c, ch, planes), state, rev.T)
+            jidx, dcr = a_mat.T, b_mat.T
+            vals = (_tp_take_1d(ix.jump_t, jidx, ma)
+                    - dcr.astype(ix.jump_t.dtype))
+            dt = vals.dtype
+            lens_dt = lens.astype(dt)
+            ptrs_fwd = _flip_rows(vals, lens_dt)
+            lens_mat = extend_pointers_sweep(
+                t512, fwd, lens_dt, ptrs_fwd, nt, None,
+                text_two_gather=True, tp_axis=ma)
+            docs = (_tp_take_1d(ix.jump_d, jidx, ma).astype(dt)
+                    if use_doc else jnp.zeros((B, 1), dt))
+            return vals, ptrs_fwd, lens_mat, docs
+
+        ix_specs = jax.tree_util.tree_map(lambda _: P(), self.arrays)
+        ix_specs = ix_specs._replace(
+            bblocks=P(ma, None), msrows=P(ma, None), jump_t=P(ma),
+            **({"jump_d": P(ma)} if self.arrays.jump_d is not None else {}))
+        fn = jax.jit(shard_map(
+            inner, mesh=self.mesh,
+            in_specs=(ix_specs, P(ma, None), P(da, None), P(da, None),
+                      P(da), P()),
+            out_specs=(P(da, None), P(da, None), P(da, None), P(da, None)),
+            **{_SM_CHECK_KW: False}))
+        self._fn_cache[0] = fn
+        return fn
+
+    def query(self, reads, pad_to: int = 128):
+        nreads = len(reads)
+        maxm = max((len(r) for r in reads), default=1)
+        L = pad_to
+        while L < maxm:
+            L *= 2
+        B = max(self.n_data, 1 << max(0, (nreads - 1)).bit_length())
+        if B % self.n_data:
+            B = ((B // self.n_data) + 1) * self.n_data
+        fwd, rev, lens = encode_rows(reads, B, L)
+        alphabet = tuple(sorted(
+            {0} | set(int(x) for x in present_chars(rev))))
+        planes = replicate_index(
+            self.host.planes_for_alphabet(alphabet), self.mesh)
+        revm = self.host.rank_map(alphabet)[rev]
+        dsh = NamedSharding(self.mesh, P(self.data_axis, None))
+        lsh = NamedSharding(self.mesh, P(self.data_axis))
+        vals, ptrs_fwd, lens_mat, docs = self._query_fn()(
+            self.arrays, self.t512,
+            jax.device_put(jnp.asarray(revm), dsh),
+            jax.device_put(jnp.asarray(fwd), dsh),
+            jax.device_put(jnp.asarray(lens), lsh), planes)
+        vals = np.asarray(vals)
+        lens_mat = np.asarray(lens_mat)
+        ptrs_fwd = np.asarray(ptrs_fwd)
+        out = {"pointers": [vals[i, :lens[i]][::-1].copy()
+                            for i in range(nreads)],
+               "lengths": [lens_mat[i, :lens[i]].copy()
+                           for i in range(nreads)]}
+        if self.use_doc:
+            docs = np.asarray(docs)
+            out["docs"] = [docs[i, :lens[i]][::-1].copy()
+                           for i in range(nreads)]
+        # reference quirk path: pointer <= 0 lanes (index-absent chars) are
+        # not a pure LCP — re-query those reads on the exact fallback
+        anom = [i for i in range(nreads)
+                if lens[i] and (ptrs_fwd[i, :lens[i]] <= 0).any()]
+        if anom and self.fallback is not None:
+            sub = self.fallback.query([reads[i] for i in anom])
+            for j, i in enumerate(anom):
+                out["lengths"][i] = np.asarray(sub["lengths"][j])
+        return out

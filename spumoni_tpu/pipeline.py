@@ -516,11 +516,13 @@ class RunConfig:
                                  "(-d writes per-position value files); run "
                                  "without --report-only for doc output")
         if self.tp_devices > 1:
-            if not (self.report_only and self.mode == "pml"
-                    and not self.use_doc):
-                raise ValueError("--tp-devices (ICI-sharded index) is "
-                                 "classify-only: requires -P -c "
-                                 "--report-only without -d")
+            pml_ok = (self.report_only and self.mode == "pml"
+                      and not self.use_doc)
+            ms_ok = self.mode == "ms" and not self.report_only
+            if not (pml_ok or ms_ok):
+                raise ValueError("--tp-devices (ICI-sharded index) supports "
+                                 "-P -c --report-only without -d "
+                                 "(classify-only PML) or -M value runs")
             if self.engine == "occ":
                 raise ValueError("--tp-devices supports the layered and "
                                  "block-bits engines")
@@ -615,9 +617,10 @@ def _tp_decision(cfg: "RunConfig", dense: DenseIndex) -> int:
     shard fits the HBM budget when the estimated engine footprint exceeds
     it. 1 = no TP (replication is faster whenever the index fits,
     PERF_NOTES 'ICI-sharded index')."""
-    if cfg.device == "cpu" or not (cfg.report_only and cfg.mode == "pml"
-                                   and not cfg.use_doc):
-        return 1  # validate() rejects tp_devices > 1 outside this combo
+    pml_ok = cfg.report_only and cfg.mode == "pml" and not cfg.use_doc
+    ms_ok = cfg.mode == "ms" and not cfg.report_only
+    if cfg.device == "cpu" or not (pml_ok or ms_ok):
+        return 1  # validate() rejects tp_devices > 1 outside these combos
     if cfg.tp_devices > 1:
         return cfg.tp_devices
     if cfg.tp_devices < 0:  # explicit off
@@ -628,7 +631,20 @@ def _tp_decision(cfg: "RunConfig", dense: DenseIndex) -> int:
         return 1
     budget = float(os.environ.get("SPN_HBM_BUDGET_GB", "12")) * 1e9
     from .engine import blockbits
-    if cfg.engine in ("auto", "bits") and blockbits.eligible_any(dense):
+    bits_ok = cfg.engine in ("auto", "bits") and blockbits.eligible_any(dense)
+    if ms_ok:
+        if not (bits_ok and dense.has_samples and dense.r < 2**30
+                and dense.text is not None
+                and (not cfg.use_doc or dense.has_doc)):
+            return 1  # TP MS rides the v4-MS assembly only
+        ssz = 8 if dense.n >= 2**31 else 4
+        nb = -(-dense.n // 512)
+        est = (nb * 404                      # v4 rows (wide upper bound)
+               + nb * 68 * 4                 # msrows (pack=2: 68 i32 words)
+               + (2 * dense.r + 2) * ssz     # jump_t
+               + (((2 * dense.r + 2) * 4) if cfg.use_doc else 0)
+               + dense.n)                    # text rows512 = the text bytes
+    elif bits_ok:
         est = (-(-dense.n // 512)) * 404     # v4 P=512 row bytes (wide)
     else:
         est = (dense.r + 1) * 8 * 4 * 2      # layered fields upper bound
@@ -644,25 +660,43 @@ def _tp_decision(cfg: "RunConfig", dense: DenseIndex) -> int:
 
 def _make_tp_engine(cfg: "RunConfig", dense: DenseIndex, tp_n: int,
                     max_value_thr: int):
-    """Engine adapter for the classify-only ICI-sharded path
-    (parallel/tp.py): v4 block-bits rows when eligible (ONE psum per step),
-    else the layered fields table."""
+    """Engine adapter for the ICI-sharded path (parallel/tp.py): the
+    classify-only PML variant (v4 block-bits rows when eligible — ONE psum
+    per step — else the layered fields table), or the full-MS value
+    variant (v4-MS rows + msrows + jump tables + rows512 text, all
+    row-sharded; TpMsQuery)."""
     import jax
 
-    from .parallel.tp import TpPmlClassifier, make_tp_mesh
+    from .parallel.tp import TpMsQuery, TpPmlClassifier, make_tp_mesh
 
     ndev = len(jax.devices())
     if ndev % tp_n or ndev < tp_n:
         raise ValueError(f"--tp-devices {tp_n} does not divide the "
                          f"{ndev} available devices")
     from .engine import blockbits
+    mesh = make_tp_mesh(ndev // tp_n, tp_n)
+    if cfg.mode == "ms":
+        if not (blockbits.eligible_any(dense) and dense.has_samples
+                and dense.r < 2**30 and dense.text is not None):
+            raise ValueError("--tp-devices for -M needs a v4-MS-capable "
+                             "index (SA samples + text, sigma <= 8, "
+                             "r < 2^30)")
+        arrays, meta, host = blockbits.build_blockbits(
+            dense, want_ms=True, want_doc=cfg.use_doc)
+        # reads with index-absent chars take the reference's sequential-
+        # carry quirk (not a pure LCP): rare — served by the CPU oracle
+        fb = _make_engine(
+            RunConfig(**{**cfg.__dict__, "device": "cpu", "tp_devices": -1}),
+            dense)
+        return TpMsQuery(arrays, meta, mesh, host, use_doc=cfg.use_doc,
+                         fallback=fb)
     if cfg.engine in ("auto", "bits") and blockbits.eligible_any(dense):
         arrays, meta, host = blockbits.build_blockbits(dense)
     else:
         from .engine.layered import build_layered
         arrays, meta, host = build_layered(dense)
-    tp = TpPmlClassifier(arrays, meta, make_tp_mesh(ndev // tp_n, tp_n),
-                         cfg.bin_size, max_value_thr, host=host)
+    tp = TpPmlClassifier(arrays, meta, mesh, cfg.bin_size, max_value_thr,
+                         host=host)
 
     class _TpAdapter:
         def __init__(self, tp_):

@@ -211,3 +211,111 @@ def test_tp_validation(tmp_path):
         RunConfig(ref_file="x", pattern_file=pat, ms_requested=True,
                   min_digest=False, write_report=True, report_only=True,
                   tp_devices=4).validate()
+
+
+def test_tp_ms_matches_native(rng, make_reads):
+    """TP for MS mode (VERDICT r4 #7): v4-MS rows + msrows + jump tables +
+    rows512 text ALL row-sharded over a 2x4 mesh; pointers and extended
+    lengths must match the native oracle bit-for-bit and every device must
+    hold only its shard of each table."""
+    from spumoni_tpu.engine.blockbits import build_blockbits
+    from spumoni_tpu.engine.scan_engine import ScanEngine
+    from spumoni_tpu.parallel.tp import TpMsQuery
+
+    text = rand_dna(rng, 6000)
+    tarr = np.frombuffer(text, np.uint8)
+    raw = build_raw_index(tarr)
+    dense = build_dense_index(raw, text=tarr, with_samples=True)
+    arrays, meta, host = build_blockbits(dense, want_ms=True)
+    native = NativeQueryEngine(raw.n, raw.run_heads, raw.run_starts,
+                               raw.thresholds, raw.samples_start,
+                               raw.samples_last, text=tarr)
+
+    tp = TpMsQuery(arrays, meta, make_tp_mesh(2, 4), host)
+    for name in ("bblocks", "msrows", "jump_t"):
+        arr = getattr(tp.arrays, name)
+        for shard in arr.addressable_shards:
+            assert shard.data.shape[0] == arr.shape[0] // 4, name
+    for shard in tp.t512.addressable_shards:
+        assert shard.data.shape[0] == tp.t512.shape[0] // 4
+
+    reads = [mutated_substring(rng, text, 300, err=0.05) for _ in range(6)]
+    reads += [rand_dna(rng, 300) for _ in range(5)]
+    reads.append(text[1000:1250])          # exact substring
+    out = tp.query(reads)
+    nat_ptrs, nat_lens = native.query_ms([bytes(r) for r in reads])[:2]
+    for i in range(len(reads)):
+        assert np.array_equal(out["pointers"][i], nat_ptrs[i]), i
+        assert np.array_equal(out["lengths"][i], nat_lens[i]), i
+
+    # replicated v4-MS engine agrees too (same engine, no sharding)
+    repl = ScanEngine(arrays, meta, mode="ms", host=host)
+    rout = repl.query(reads)
+    for i in range(len(reads)):
+        assert np.array_equal(out["pointers"][i], rout["pointers"][i]), i
+        assert np.array_equal(out["lengths"][i], rout["lengths"][i]), i
+
+
+def test_tp_ms_doc_and_quirk_fallback(rng):
+    """TP MS with doc tracking (sharded jump_d) + the reference-quirk
+    fallback for reads containing index-absent characters."""
+    from spumoni_tpu.engine.blockbits import build_blockbits
+    from spumoni_tpu.index.format import build_doc_arrays
+    from spumoni_tpu.parallel.tp import TpMsQuery
+
+    text = rand_dna(rng, 5000)
+    tarr = np.frombuffer(text, np.uint8)
+    raw = build_raw_index(tarr)
+    ds, de = build_doc_arrays(raw, [2500, len(tarr) - 2500])
+    dense = build_dense_index(raw, text=tarr, with_samples=True,
+                              doc_start=ds, doc_end=de)
+    arrays, meta, host = build_blockbits(dense, want_ms=True, want_doc=True)
+    native = NativeQueryEngine(
+        raw.n, raw.run_heads, raw.run_starts, raw.thresholds,
+        raw.samples_start, raw.samples_last, text=tarr,
+        start_doc=ds, end_doc=de)
+
+    class _NativeWrap:
+        def query(self, reads):
+            p, l, d = native.query_ms([bytes(r) for r in reads],
+                                      with_docs=True)
+            return {"pointers": p, "lengths": l, "docs": d}
+
+    tp = TpMsQuery(arrays, meta, make_tp_mesh(2, 4), host, use_doc=True,
+                   fallback=_NativeWrap())
+    reads = [mutated_substring(rng, text, 250, err=0.05) for _ in range(4)]
+    reads.append(text[200:400] + b"NNN" + text[3000:3100])  # absent char
+    out = tp.query(reads)
+    nat_p, nat_l, nat_d = native.query_ms([bytes(r) for r in reads],
+                                          with_docs=True)
+    for i in range(len(reads)):
+        assert np.array_equal(out["pointers"][i], nat_p[i]), i
+        assert np.array_equal(out["lengths"][i], nat_l[i]), i
+        assert np.array_equal(out["docs"][i], nat_d[i]), i
+
+
+def test_tp_ms_cli_reachable(tmp_path, rng):
+    """--tp-devices for -M through pipeline.run: TP value files must be
+    byte-identical to the replicated-path run."""
+    from spumoni_tpu.pipeline import BuildConfig, RunConfig, build, run
+
+    genome_path = str(tmp_path / "g.fa")
+    with open(genome_path, "w") as f:
+        f.write(">chr\n" + rand_dna(rng, 15000).decode() + "\n")
+    reads_path = str(tmp_path / "reads.fa")
+    with open(reads_path, "w") as f:
+        text = open(genome_path).readlines()[1].strip().encode()
+        for i in range(5):
+            f.write(f">pos{i}\n"
+                    f"{mutated_substring(rng, text, 280, 0.05).decode()}\n")
+            f.write(f">neg{i}\n{rand_dna(rng, 280).decode()}\n")
+    build(BuildConfig(ref_file=genome_path, output_prefix=str(tmp_path / "i"),
+                      ms_index=True, use_minimizers=False))
+    base = dict(ref_file=str(tmp_path / "i"), pattern_file=reads_path,
+                ms_requested=True, min_digest=False, write_report=True)
+    run(RunConfig(**base))
+    repl = {ext: open(reads_path + ext, "rb").read()
+            for ext in (".lengths", ".pointers", ".report")}
+    run(RunConfig(tp_devices=4, **base))
+    for ext, blob in repl.items():
+        assert open(reads_path + ext, "rb").read() == blob, ext
