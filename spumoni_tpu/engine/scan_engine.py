@@ -607,12 +607,14 @@ def _lcp_bytes(tb, rb):
 
 @functools.partial(
     jax.jit, static_argnames=("nt", "chunk_positions", "K", "tail_chunk",
-                              "text_two_gather", "tp_axis"))
+                              "text_two_gather", "tp_axis",
+                              "bulk_one_gather"))
 def extend_pointers_sweep(text_words: jnp.ndarray, reads: jnp.ndarray,
                           read_lens: jnp.ndarray, ptrs: jnp.ndarray, nt: int,
                           text_wide, chunk_positions: int = 131072,
                           K: int = 4, tail_chunk: int = 16384,
-                          text_two_gather: bool = False, tp_axis=None):
+                          text_two_gather: bool = False, tp_axis=None,
+                          bulk_one_gather: bool = True):
     """MS extension v4: BULK SINGLE PASS + compacted long tails.
 
     The chunked-while kernels (extend_pointers_diag/diag2) pay one
@@ -678,10 +680,48 @@ def extend_pointers_sweep(text_words: jnp.ndarray, reads: jnp.ndarray,
         rpos0 = base * CH + jnp.arange(CH, dtype=dt)
         rrow = rpos0 // L
         limit = rrow * L + lens_i[jnp.clip(rrow, 0, B - 1)]
-        kmax = jnp.minimum(jnp.minimum(limit - rpos0, nt - fp),
-                           64).astype(i32)
-        tb = (_window_rows512(text_words, fp, 64, tp_axis)
-              if text_two_gather else _aligned_bytes64(text_words, fp))
+        phys = jnp.minimum(limit - rpos0, nt - fp)     # hard extension cap
+        if text_two_gather and bulk_one_gather:
+            # ONE row gather per position (vs _window_rows512's two): the
+            # window is capped at the 512 B row boundary, and the ~12% of
+            # positions whose LCP hits that cap simply become phase-B
+            # survivors (phase B re-fetches 256 B windows at any offset) —
+            # exactness is unchanged, phase-A gather traffic halves
+            off = (fp & 511).astype(i32)
+            rowcap = 512 - off
+            kmax = jnp.minimum(phys, jnp.minimum(rowcap, 64)).astype(i32)
+            if tp_axis is not None:
+                rl = text_words.shape[0]
+                S_ = jax.lax.psum(1, tp_axis)
+                tpi = jax.lax.axis_index(tp_axis).astype(i32)
+                g = jnp.clip((fp >> 9).astype(i32), 0, rl * S_ - 1)
+                loc = g - tpi * rl
+                mine = (loc >= 0) & (loc < rl)
+                row = jax.lax.psum(
+                    jnp.where(mine[:, None],
+                              text_words[jnp.clip(loc, 0, rl - 1)], 0),
+                    tp_axis)
+            else:
+                g = jnp.clip((fp >> 9).astype(i32), 0,
+                             text_words.shape[0] - 1)
+                row = text_words[g]                    # [CH, 128] u32
+            w = jnp.concatenate(
+                [row, jnp.zeros((row.shape[0], 16), row.dtype)], axis=1)
+            woff = off >> 2
+            for s in (64, 32, 16, 8, 4, 2, 1):
+                take = ((woff & s) != 0)[:, None]
+                w = jnp.where(take, w[:, s:], w[:, :w.shape[1] - s])
+            tbb = jax.lax.bitcast_convert_type(w[:, :17], jnp.uint8)
+            tbb = tbb.reshape(tbb.shape[0], 68)
+            rem = off & 3
+            for s in (2, 1):
+                take = ((rem & s) != 0)[:, None]
+                tbb = jnp.where(take, tbb[:, s:], tbb[:, :tbb.shape[1] - s])
+            tb = tbb[:, :64]
+        else:
+            kmax = jnp.minimum(phys, 64).astype(i32)
+            tb = (_window_rows512(text_words, fp, 64, tp_axis)
+                  if text_two_gather else _aligned_bytes64(text_words, fp))
         # the read-side window of flat position base*CH+i is CONTIGUOUS
         # (starts at that byte): 64 shifted slices of the chunk's bytes
         # replace the gather+butterfly (measured 1.51 -> 1.21 s phase A)
@@ -690,7 +730,13 @@ def extend_pointers_sweep(text_words: jnp.ndarray, reads: jnp.ndarray,
         rb = jnp.stack([cb[j:j + CH] for j in range(64)], axis=1)
         k = jnp.clip(jnp.minimum(_lcp_bytes(tb, rb), kmax), 0, 64)
         l = jnp.where(fa, k, 0).astype(dt)
-        surv = fa & (k == 64)
+        if text_two_gather and bulk_one_gather:
+            # k == kmax with the physical cap binding is NOT extendable,
+            # but phase B's own kmax resolves that lane to a no-op — only
+            # correctness matters here, the lane count barely moves
+            surv = fa & (k == kmax) & (kmax > 0)
+        else:
+            surv = fa & (k == 64)
         return carry, (l, surv)
 
     _, (l_c, surv_c) = jax.lax.scan(

@@ -61,8 +61,15 @@ _DEC = np.frombuffer(b"ACGT", dtype=np.uint8)
 # CharacterHash(255) + Wagner-MTRand chain (see deviation note). bonsai's
 # bns::DNA mode feeds the hasher 2-bit base codes, so the effective entries
 # are hashvalues[0..3], mapped here onto the ACGT byte positions.
+# SPN_PROMO_SEED overrides the pinned MT seed (default 0) for users who
+# have extracted their deployed bonsai fork's constant — the one quantity
+# not derivable offline (PARITY.md deviation 1, round-5 resolution).
+import os as _os
+
+_PROMO_SEED = int(_os.environ.get("SPN_PROMO_SEED", "0"))
 _CYC_TAB = np.zeros(256, dtype=np.uint8)
-_CYC_TAB[list(b"ACGT")] = character_hash_table(wordsize=8, seed=0)[:4]
+_CYC_TAB[list(b"ACGT")] = character_hash_table(wordsize=8,
+                                               seed=_PROMO_SEED)[:4]
 
 _INVALID64 = np.uint64(0xFFFFFFFFFFFFFFFF)   # bonsai's BF sentinel
 _INVALID16 = np.uint16(0xFFFF)               # 8-bit hash sentinel (> any u8)
