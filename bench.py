@@ -167,36 +167,36 @@ print(len(reads) / dt / threads)
 
 
 def bench_tpu_ms(raw, text, rng):
-    """Full MS mode (BASELINE config 2): pointer scan + text extension."""
+    """Full MS mode (BASELINE config 2): pointer scan + text extension —
+    the production engine selection (v4-MS scan + rows512 two-gather
+    extension, as pipeline.run auto-selects)."""
     import jax
     import jax.numpy as jnp
-    from spumoni_tpu.index.format import build_dense_index
-    from spumoni_tpu.engine.layered import build_layered
-    from spumoni_tpu.engine.scan_engine import (build_text_words,
-                                                build_text_wide,
+    from spumoni_tpu.engine.blockbits import build_blockbits
+    from spumoni_tpu.engine.scan_engine import (build_text_rows512,
                                                 extend_pointers_sweep,
-                                                query_batch_kernel_v2)
+                                                query_batch_kernel_v4ms)
+    from spumoni_tpu.index.format import build_dense_index
 
     B_ms = 65536
     dense = build_dense_index(raw, text=text, with_samples=True)
-    arrays, meta, host = build_layered(dense)
+    arrays, meta, host = build_blockbits(dense, want_ms=True)
     nt = int(arrays.text.shape[0])
-    tw = build_text_words(arrays.text, nt)
-    twide = build_text_wide(arrays.text, nt)
+    tw = build_text_rows512(arrays.text, nt)
 
     reads = make_reads(rng, text, B_ms, L)
     rev = np.ascontiguousarray(reads[:, ::-1])
-    alphabet = tuple(sorted(set(host.index_chars) | {0}))
+    alphabet = tuple(sorted({0} | set(int(x) for x in np.unique(rev))))
     planes = host.planes_for_alphabet(alphabet)
     rev_d = jax.device_put(jnp.asarray(host.rank_map(alphabet)[rev]))
     fwd_d = jax.device_put(jnp.asarray(reads))
     lens_d = jax.device_put(jnp.asarray(np.full((B_ms,), L, np.int32)))
 
     def step():
-        ptrs, _, _ = query_batch_kernel_v2(arrays, rev_d, meta, "ms",
-                                           False, planes)
+        ptrs, _, _ = query_batch_kernel_v4ms(arrays, rev_d, meta, "ms",
+                                             False, planes)
         lens_ = extend_pointers_sweep(tw, fwd_d, lens_d, ptrs[:, ::-1], nt,
-                                      twide)
+                                      None, text_two_gather=True)
         return lens_
 
     np.asarray(step()[:1])  # compile + warm
