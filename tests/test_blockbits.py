@@ -438,3 +438,39 @@ def test_blockbits_wide_fused_classify(rng, make_reads):
         assert out["above"][i] == res.bins_above, i
         assert out["below"][i] == res.bins_below, i
         assert bool(out["found"][i]) == (res.status == "FOUND"), i
+
+
+def test_load_cached_guards(tmp_path, rng):
+    """Fast-start loader returns None (never a wrong engine) for: missing
+    cache, pre-manifest cache, stale source stat, and a rows table past
+    max_bytes."""
+    import os
+
+    from spumoni_tpu.engine import blockbits
+    from spumoni_tpu.index.format import build_dense_index
+
+    text = np.frombuffer(rand_dna(rng, 4000), np.uint8)
+    raw = build_raw_index(text)
+    dense = build_dense_index(raw)
+    src = str(tmp_path / "idx.npz")
+    np.savez(src, dummy=np.zeros(1))
+    cache = str(tmp_path / "idx.bbrows.npz")
+
+    assert blockbits.load_cached(cache, src) is None          # missing
+
+    blockbits.build_blockbits(dense, cache_path=cache, src_path=src)
+    got = blockbits.load_cached(cache, src)
+    assert got is not None and got[3] == dense.n and got[4] == dense.r
+
+    assert blockbits.load_cached(cache, src, max_bytes=16) is None  # budget
+
+    os.utime(src)                                             # stale stat
+    assert blockbits.load_cached(cache, src) is None
+
+    # pre-manifest cache (no m_stat): rejected, then upgraded in place by
+    # the next dense-path build
+    d = dict(np.load(cache))
+    np.savez(cache, key=d["key"], rows=d["rows"])
+    assert blockbits.load_cached(cache, src) is None
+    blockbits.build_blockbits(dense, cache_path=cache, src_path=src)
+    assert blockbits.load_cached(cache, src) is not None
