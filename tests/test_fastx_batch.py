@@ -209,3 +209,27 @@ def test_digest_packed_passthrough():
     p = _mk_packed([b"ACGT", b"GGTT"])
     out = digest_packed(p, False, False)
     assert out.buf.tobytes() == p.buf.tobytes()
+
+
+def test_select_records_edges():
+    """CSR subset helper (host-stride sharding): empty selection,
+    single record, zero-length records, and full-identity selection."""
+    from spumoni_tpu.io.fastx_batch import PackedReads, select_records
+
+    pk = PackedReads(["a", "b", "c", "d"],
+                     np.frombuffer(b"AAACCGT", np.uint8).copy(),
+                     np.asarray([0, 3, 3, 5, 7], np.int64))
+    sub = select_records(pk, np.asarray([1, 3]))
+    assert sub.ids == ["b", "d"]
+    assert sub.buf.tobytes() == b"GT" and list(sub.offs) == [0, 0, 2]
+
+    empty = select_records(pk, np.asarray([], np.int64))
+    assert len(empty) == 0 and empty.total_bases == 0
+
+    one = select_records(pk, np.asarray([2]))
+    assert one.ids == ["c"] and one.buf.tobytes() == b"CC"
+
+    ident = select_records(pk, np.arange(4))
+    assert ident.ids == pk.ids
+    assert np.array_equal(ident.buf, pk.buf)
+    assert np.array_equal(ident.offs, pk.offs)
